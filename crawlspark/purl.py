@@ -1,0 +1,228 @@
+"""Pure-Python URL semantics matching the reference crawler exactly.
+
+These functions are the golden contract for URL handling (reference:
+/root/reference/url.go):
+
+- ``clean_path``   ≙ Go ``path.Clean``        (url.go:45, 62 call sites)
+- ``join_host``    ≙ ``join(host, name)``      (url.go:36-50)
+- ``normalize``    ≙ ``normalize(parent, href)`` (url.go:9-34) — note this is
+  deliberately NOT RFC 3986: a bare relative href resolves against the full
+  parent *path* treated as a directory (url_test.go:61 expects
+  ``http://google.com/sub/search`` for href ``search`` under parent
+  ``http://google.com/sub``).
+- ``normalize_key`` ≙ ``normalizeKey(url)``    (url.go:52-72): the canonical
+  dedup key — cleaned path (+ ``?rawquery``), scheme/host/fragment dropped.
+
+They are used in three places: the pure-Python reference oracle
+(crawlspark/oracle.py), the vectorized Arrow-batch fallback path in
+crawlspark/canon.py, and the unit tests' expected values.
+
+No Spark imports here — this module must stay importable on executors
+without a SparkSession.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+from urllib.parse import urlsplit
+
+
+class URL(NamedTuple):
+    """Minimal URL struct mirroring the fields Go's net/url.URL exposes
+    that the reference actually uses (scheme, host, path, rawquery,
+    fragment)."""
+
+    scheme: str
+    host: str
+    path: str
+    query: str
+    fragment: str
+
+    @property
+    def is_abs(self) -> bool:
+        # Go: u.IsAbs() ⇔ u.Scheme != "" (crawler.go:28)
+        return self.scheme != ""
+
+    def to_string(self) -> str:
+        """Reconstruct the URL string the way Go's url.URL.String() does for
+        the simple http(s) URLs this engine deals with."""
+        out = []
+        if self.scheme:
+            out.append(self.scheme + ":")
+        if self.host:
+            out.append("//" + self.host)
+        out.append(self.path)
+        if self.query:
+            out.append("?" + self.query)
+        if self.fragment:
+            out.append("#" + self.fragment)
+        return "".join(out)
+
+
+def parse_url(raw: str) -> Optional[URL]:
+    """Parse like Go url.Parse for the subset of URLs a crawler meets.
+
+    Returns None where Go's url.Parse would error (control characters) —
+    the caller skips the link, mirroring crawler.go:226-228.
+    """
+    if raw is None:
+        return None
+    for ch in raw:
+        if ord(ch) < 0x20 or ch == "\x7f":
+            return None
+    try:
+        parts = urlsplit(raw)
+    except ValueError:
+        return None
+    return URL(
+        scheme=parts.scheme,
+        host=parts.netloc,
+        path=parts.path,
+        query=parts.query,
+        fragment=parts.fragment,
+    )
+
+
+def clean_path(path: str) -> str:
+    """Go path.Clean semantics (NOT posixpath.normpath: normpath keeps a
+    leading ``//``, Go collapses it).
+
+    Rules: collapse multiple slashes, eliminate ``.`` and ``..`` segments
+    (".." at the root is dropped for rooted paths, kept for relative ones),
+    drop trailing slash, empty result ⇒ ".".
+    """
+    if path == "":
+        return "."
+    rooted = path[0] == "/"
+    segs = path.split("/")
+    out: list[str] = []
+    for seg in segs:
+        if seg == "" or seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "..":
+                out.pop()
+            elif not rooted:
+                out.append("..")
+            # rooted + at root: drop the ".."
+            continue
+        out.append(seg)
+    cleaned = "/".join(out)
+    if rooted:
+        cleaned = "/" + cleaned
+    if cleaned == "":
+        cleaned = "."
+    return cleaned
+
+
+def path_join(a: str, b: str) -> str:
+    """Go path.Join(a, b): join with '/', then Clean; empty parts skipped."""
+    parts = [p for p in (a, b) if p != ""]
+    if not parts:
+        return ""
+    return clean_path("/".join(parts))
+
+
+def join_host(host: str, name: str) -> str:
+    """``join(host, name)`` — reference url.go:36-50.
+
+    Strips leading slashes from name; "." ⇒ ""; Clean if len>1; empty ⇒
+    host; else path.Join(host, name).
+    """
+    while name.startswith("/"):
+        name = name[1:]
+    if name == ".":
+        return ""
+    if len(name) > 1:
+        name = clean_path(name)
+    if name == "":
+        return host
+    return path_join(host, name)
+
+
+def normalize(parent: URL, href: str) -> Optional[URL]:
+    """``normalize(parent, href)`` — reference url.go:9-34.
+
+    Absolute hrefs returned as-is (cross-host allowed here; the accept
+    filter rejects them later). Relative hrefs resolve through four cases
+    against the parent, with the parent's full path acting as the base
+    directory. Returns None for unparseable hrefs (link skipped).
+    """
+    candidate = parse_url(href)
+    if candidate is None:
+        return None
+    if candidate.is_abs:
+        return candidate
+
+    href = href.strip()
+    if href.startswith("#"):
+        href = parent.scheme + "://" + join_host(parent.host, parent.path) + href
+    elif href.startswith("//"):
+        href = parent.scheme + ":" + href
+    elif href.startswith("/"):
+        href = parent.scheme + "://" + parent.host + href
+    else:
+        href = "/" + href
+        href = parent.scheme + "://" + join_host(parent.host, parent.path) + href
+    return parse_url(href)
+
+
+def normalize_key(u: URL) -> str:
+    """``normalizeKey(url)`` — reference url.go:52-72.
+
+    Canonical dedup key: cleaned path with guaranteed leading slash, plus
+    ``?rawquery`` verbatim when present. Scheme/host/port/fragment dropped
+    (single-host crawl). Consequences preserved: ``http://h`` ≡
+    ``http://h/`` (key "/"), ``/sub/`` ≡ ``/sub``, ``p#frag`` ≡ ``p``,
+    ``/a/../b`` ≡ ``/b``; query kept verbatim, no param sorting.
+    """
+    name = u.path
+    if name == ".":
+        name = ""
+    if len(name) > 1:
+        name = clean_path(name)
+    if name != "" and not name.startswith("/"):
+        name = "/" + name
+    if name == "":
+        name = "/"
+    if u.query:
+        name += "?" + u.query
+    return name
+
+
+def accept(
+    u: URL,
+    host: str,
+    reject: "list[object]",
+    accept_pats: "list[object]",
+) -> bool:
+    """F1 — reference ``Accept`` (crawler.go:59-84). Exact host-string
+    equality (includes port), then reject regexes (reject wins), then
+    accept regexes (empty accept list ⇒ accept all). Patterns are matched
+    unanchored against the full URL string (Go ``MatchString`` ≙
+    ``re.search``). ``reject``/``accept_pats`` hold compiled patterns or
+    pattern strings."""
+    import re as _re
+
+    if host == "":
+        raise ValueError("empty crawl host")  # reference panics, crawler.go:61
+    if host != u.host:
+        return False
+    name = u.to_string()
+    for pat in reject:
+        if _re.search(pat if isinstance(pat, str) else pat.pattern, name):
+            return False
+    if not accept_pats:
+        return True
+    for pat in accept_pats:
+        if _re.search(pat if isinstance(pat, str) else pat.pattern, name):
+            return True
+    return False
+
+
+def url_key_of(raw: str) -> Optional[str]:
+    """Convenience: parse + normalize_key; None when unparseable."""
+    u = parse_url(raw)
+    if u is None:
+        return None
+    return normalize_key(u)
