@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""crawlspark benchmark — prints ONE JSON line.
+
+Headline metric (BASELINE.json): frontier-expansion throughput — URLs
+scheduled+deduped per second — on a deterministic power-law multi-host
+web graph (hot-host skew, politeness windows on, salted partitioning on,
+exact anti-join dedup on). Also times the analysis/operator queries from
+__spark_entry__ at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      sf dir for operator queries (default sf0.1)
+  SPARK_GRAFT_CPUS        local[N] cores (default 32)
+  CRAWLSPARK_BENCH_PAGES  synthetic graph size (default 40000)
+  CRAWLSPARK_BENCH_CRAWL_ONLY=1  skip operator queries (scaling runs)
+
+The synthetic graph is generated once and cached as parquet under /tmp so
+every parallelism level benches the identical input (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "40000"))
+CRAWL_ONLY = os.environ.get("CRAWLSPARK_BENCH_CRAWL_ONLY") == "1"
+CACHE_DIR = f"/tmp/crawlspark_bench_input_{N_PAGES}"
+
+
+def ensure_bench_input(spark):
+    """Deterministic powerlaw graph cached as parquet (pages + seeds)."""
+    from crawlspark.schemas import PAGES
+    from crawlspark.synth import powerlaw
+
+    pages_path = f"{CACHE_DIR}/pages"
+    seeds_path = f"{CACHE_DIR}/seeds.json"
+    if not (os.path.isdir(pages_path) and os.path.exists(seeds_path)):
+        pages, seeds = powerlaw(
+            n_pages=N_PAGES,
+            n_hosts=24,
+            out_degree=25,
+            paragraphs=20,
+            seed=42,
+            hot_host_share=0.4,
+            seed_fraction=0.25,
+        )
+        tmp = CACHE_DIR + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        spark.createDataFrame(pages, PAGES).repartition(CPUS).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/pages")
+        with open(f"{tmp}/seeds.json", "w") as f:
+            json.dump(seeds, f)
+        shutil.rmtree(CACHE_DIR, ignore_errors=True)
+        os.replace(tmp, CACHE_DIR)
+    with open(seeds_path) as f:
+        seeds = json.load(f)
+    return spark.read.parquet(pages_path), seeds
+
+
+def run_crawl_bench(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark.engine import CrawlConfig, Crawler
+
+    pages_df, seeds = ensure_bench_input(spark)
+    pages_df = pages_df.persist()
+    pages_df.count()  # warm the input out of the timed section
+    hosts = [r["host"] for r in pages_df.select("host").distinct().collect()]
+
+    ckpt = tempfile.mkdtemp(prefix="crawlspark_bench_")
+    cfg = CrawlConfig(
+        checkpoint_dir=ckpt,
+        multi_host=True,
+        hosts=hosts,
+        host_budget=N_PAGES,  # politeness windows exercised, nothing deferred
+        max_rounds=2,
+        num_partitions=CPUS,
+        broadcast_pages=False,  # the web is not broadcastable at scale
+    )
+    t0 = time.time()
+    result = Crawler(spark, pages_df, cfg).run(seeds)
+    secs = time.time() - t0
+
+    m = result.metrics_df().agg(
+        F.sum("scheduled").alias("s"), F.sum("new_urls").alias("n")
+    ).collect()[0]
+    urls = int(m["s"]) + int(m["n"])
+    # pmod keeps the per-row term in 32 bits so the sum cannot overflow
+    # long under ANSI mode even at billions of rows
+    checksum = result.order_df().agg(
+        F.sum(
+            F.pmod(
+                F.xxhash64("url", F.col("disc_order").cast("string")),
+                F.lit(1 << 32),
+            )
+        )
+    ).collect()[0][0]
+    shutil.rmtree(ckpt, ignore_errors=True)
+    pages_df.unpersist()
+    return {
+        "crawl_secs": round(secs, 2),
+        "crawl_urls": urls,
+        "crawl_urls_per_sec": round(urls / secs, 1),
+        "crawl_checksum": int(checksum),
+    }
+
+
+def run_query_bench(spark):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    skip = {"crawl_order_basic16", "crawl_span_documents"}  # covered above
+    out = {}
+    for name, fn in entry.queries().items():
+        if name in skip:
+            continue
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main():
+    from crawlspark.session import get_spark
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app="crawlspark-bench")
+    crawl = run_crawl_bench(spark)
+    queries = {"crawl_frontier_expansion": crawl["crawl_secs"]}
+    if not CRAWL_ONLY:
+        queries.update(run_query_bench(spark))
+    out = {
+        "metric": "frontier-expansion throughput (URLs scheduled+deduped/sec)",
+        "value": crawl["crawl_urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "bench_pages": N_PAGES,
+        **crawl,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

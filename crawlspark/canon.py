@@ -1,0 +1,229 @@
+"""Vectorized URL canonicalization + accept filter (U1/U2/U3, F1).
+
+The per-row golden contract lives in crawlspark.purl; this module is the
+Arrow-batch realization used in Spark plans. Strategy (SURVEY.md §2.3):
+
+- The common URL shapes are handled with true pandas vectorized string ops
+  (str.extract masks + boolean-mask concatenation — no Python per row).
+- Rows the fast path cannot express exactly (dot-segments, `//` runs,
+  unusual schemes, whitespace edge cases) drop to a ``Series.map`` of the
+  pure functions *inside the Arrow batch* — still no per-row Python at the
+  Spark row level, and rare in practice (every fallback is mask-counted so
+  tests can assert the fast path actually covers the corpus).
+- Equivalence fast-path ≡ purl is pinned exhaustively by
+  tests/test_canon_vectorized.py over adversarial corpora.
+
+Native (JVM/codegen) helpers are preferred wherever bit-exact: host/scheme
+extraction via ``regexp_extract``, the accept filter via folded ``rlike``
+(F1, crawler.go:59-84), key hashing via ``xxhash64``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .purl import normalize, normalize_key, parse_url, url_key_of
+
+# RFC-3986-style splitter; group order: scheme, host, path, query, fragment.
+_URL_PARTS = (
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?"  # 1 scheme
+    r"(?://([^/?#]*))?"  # 2 host (authority)
+    r"([^?#]*)"  # 3 path
+    r"(?:\?([^#]*))?"  # 4 query
+    r"(?:#(.*))?$"  # 5 fragment
+)
+
+# Native Spark regexes (Java dialect) for scan-level column derivation.
+SQL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+SQL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+
+_CTRL = r"[\x00-\x1f\x7f]"
+
+# paths the vectorized cleaner handles: no dot-segments, no double slashes
+_NEEDS_CLEAN = r"(?://)|(?:^|/)\.\.?(?:/|$)"
+
+
+def _split(urls: pd.Series) -> pd.DataFrame:
+    parts = urls.str.extract(_URL_PARTS)
+    parts.columns = ["scheme", "host", "path", "query", "fragment"]
+    return parts
+
+
+def pd_url_key(urls: pd.Series) -> pd.Series:
+    """Vectorized U3 (normalizeKey, url.go:52-72): cleaned path with leading
+    slash (empty ⇒ "/"), plus "?"+query verbatim. Fast path covers paths
+    without dot-segments/double slashes; others fall back to purl."""
+    urls = urls.astype("string")
+    parts = _split(urls)
+    path = parts["path"].fillna("")
+    query = parts["query"]
+
+    fast = ~path.str.contains(_NEEDS_CLEAN, regex=True, na=False)
+    fast &= ~urls.str.contains(_CTRL, regex=True, na=False)
+    # opaque URLs (scheme + non-slash rest) are not keyable on the fast path
+    fast &= ~(parts["scheme"].notna() & parts["host"].isna() & ~path.str.startswith("/") & (path != ""))
+
+    # clean for dot-free paths = strip one trailing slash (keep root "/")
+    p = path.str.replace(r"(.)/$", r"\1", regex=True)
+    p = p.mask((p != "") & ~p.str.startswith("/"), "/" + p)
+    p = p.mask(p == "", "/")
+    key = p.where(query.isna() | (query == ""), p + "?" + query.fillna(""))
+
+    slow = ~fast
+    if slow.any():
+        key = key.mask(slow, urls[slow].map(url_key_of))
+    key = key.mask(urls.isna(), None)
+    return key.astype(object).where(key.notna(), None)
+
+
+def pd_host(urls: pd.Series) -> pd.Series:
+    """Authority (Go url.Host: hostname[:port], no userinfo handling needed
+    for crawl URLs)."""
+    return _split(urls.astype("string"))["host"].fillna("")
+
+
+def _join_host_map(parents: pd.Series) -> pd.Series:
+    """join(host, path) per parent (U2) — computed once per *unique* parent
+    (one page yields many links), then broadcast back. Python cost is
+    O(unique pages), not O(links)."""
+    uniq = pd.Series(parents.unique())
+    mapped = {}
+    for s in uniq.dropna():
+        u = parse_url(s)
+        if u is None:
+            mapped[s] = None
+            continue
+        from .purl import join_host
+
+        mapped[s] = (u.scheme, u.host, join_host(u.host, u.path))
+    return parents.map(mapped)
+
+
+def pd_resolve(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Vectorized U1 (normalize, url.go:9-34). Returns the resolved absolute
+    URL string, or None where the reference would skip the link."""
+    hrefs = hrefs.astype("string")
+    parent_urls = parent_urls.astype("string")
+    n = len(hrefs)
+    out = pd.Series([None] * n, index=hrefs.index, dtype=object)
+
+    bad = hrefs.isna() | hrefs.str.contains(_CTRL, regex=True, na=True)
+    ok = ~bad
+
+    # absolute? (Go: url.Parse(href).IsAbs() — scheme present, checked on the
+    # RAW href: leading whitespace defeats scheme detection)
+    abs_mask = ok & hrefs.str.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", na=False)
+    # fast absolute: already in canonical Parse→String form
+    abs_fast = abs_mask & hrefs.str.match(
+        r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False
+    )
+    out[abs_fast] = hrefs[abs_fast]
+    abs_slow = abs_mask & ~abs_fast
+    if abs_slow.any():
+        out[abs_slow] = hrefs[abs_slow].map(
+            lambda h: (lambda u: u.to_string() if u is not None else None)(parse_url(h))
+        )
+
+    rel = ok & ~abs_mask
+    if rel.any():
+        trimmed = hrefs.str.strip()
+        pinfo = _join_host_map(parent_urls)
+        pscheme = pinfo.map(lambda t: t[0] if t else None)
+        phost = pinfo.map(lambda t: t[1] if t else None)
+        pjoin = pinfo.map(lambda t: t[2] if t else None)
+
+        frag = rel & trimmed.str.startswith("#")
+        proto = rel & trimmed.str.startswith("//") & ~frag
+        root = rel & trimmed.str.startswith("/") & ~proto & ~frag
+        other = rel & ~frag & ~proto & ~root
+
+        cand = pd.Series([None] * n, index=hrefs.index, dtype=object)
+        cand[frag] = pscheme[frag] + "://" + pjoin[frag] + trimmed[frag]
+        cand[proto] = pscheme[proto] + ":" + trimmed[proto]
+        cand[root] = pscheme[root] + "://" + phost[root] + trimmed[root]
+        cand[other] = pscheme[other] + "://" + pjoin[other] + "/" + trimmed[other]
+
+        # final url.Parse round-trip (url.go:33 "verify, normalize url"):
+        # identity for clean constructed strings; python fallback otherwise
+        built = cand.notna() & rel
+        clean = built & pd.Series(cand, dtype="string").str.match(
+            r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False
+        )
+        out[clean] = cand[clean]
+        dirty = built & ~clean
+        if dirty.any():
+            out[dirty] = cand[dirty].map(
+                lambda h: (lambda u: u.to_string() if u is not None else None)(
+                    parse_url(h)
+                )
+            )
+    return out
+
+
+def pd_accept(
+    urls: pd.Series, host: str, reject: list[str], accept_pats: list[str]
+) -> pd.Series:
+    """Vectorized F1 over resolved URL strings (host equality + regex lists;
+    reject wins; empty accept ⇒ accept all). Used by tests and the oracle
+    path; in Spark plans the same predicate is expressed natively via
+    accept_filter_col (rlike folds) so Catalyst can push/fuse it."""
+    if host == "":
+        raise ValueError("empty crawl host")
+    res = pd_host(urls) == host
+    for pat in reject:
+        res &= ~urls.str.contains(pat, regex=True, na=False)
+    if accept_pats:
+        any_acc = pd.Series(False, index=urls.index)
+        for pat in accept_pats:
+            any_acc |= urls.str.contains(pat, regex=True, na=False)
+        res &= any_acc
+    return res.fillna(False)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def register_udfs():
+    """Create the pandas UDF objects (deferred import so pure-Python callers
+    never need a JVM)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def url_key_udf(urls: pd.Series) -> pd.Series:
+        return pd_url_key(urls)
+
+    @F.pandas_udf(T.StringType())
+    def resolve_udf(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+        return pd_resolve(parent_urls, hrefs)
+
+    return {"url_key": url_key_udf, "resolve": resolve_udf}
+
+
+def host_col(url_col):
+    """Native host extraction (JVM regexp_extract — empty string when no
+    authority, matching Go url.Host)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.regexp_extract(c, SQL_HOST_RE, 1)
+
+
+def accept_filter_col(url_col, host: str, reject: list[str], accept_pats: list[str]):
+    """Native F1 predicate: folded rlike chain — fully inside whole-stage
+    codegen, pushed below the UDF stages by Catalyst where legal."""
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    pred = host_col(c) == F.lit(host)
+    for pat in reject:
+        pred = pred & ~c.rlike(pat)
+    if accept_pats:
+        any_acc = F.lit(False)
+        for pat in accept_pats:
+            any_acc = any_acc | c.rlike(pat)
+        pred = pred & any_acc
+    return pred

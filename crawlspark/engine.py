@@ -1,0 +1,408 @@
+"""The crawl engine: an iterative-DataFrame-jobs realization of the
+reference's queue/dispatch/worker lifecycle (Q2/Q7, crawler.go:275-367,
+queue.go:102-143) — north rule: round-based batch, checkpointed and
+resumable, deterministic at any parallelism.
+
+Round r (SURVEY.md §3 lifecycle):
+
+    frontier_r (parquet snapshot)
+      → politeness schedule: two-phase per-host top-k          [Q5]
+      → uniform salted repartition for the fetch stage         [Q4]
+      → robots broadcast gate (denied = counted failures)      [F5]
+      → guards + resolver join against pages                   [F3,F4,SRC3,F6]
+      → one mapInPandas: parse + links + spans                 [P1-P4]
+      → documents / order / metrics appends                    [SNK1,SNK2]
+      → link resolve (pandas UDF) → native accept filter       [U1,F1]
+      → first-wins window → anti-join seen → budget            [Q1]
+      → frontier_{r+1} = carryover ∪ fresh (snapshot write)
+    terminate when the frontier is empty (≙ TTL fixpoint, Q2) or the
+    round cap is hit. Every table append is keyed by round ⇒ resumable
+    from any round boundary; a torn round overwrites itself on retry.
+
+Determinism: every ordering is an explicit sort on
+(parent disc_order, link_index) — the canonical single-worker FIFO order —
+so two runs (or two parallelism levels) produce byte-identical crawl
+order, seen set, and span documents. Verified against crawlspark.oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canon
+from .canon import accept_filter_col
+from .fetch import resolve_fetch
+from .frontier import dedup_candidates
+from .parse import parse_stage
+from .robots import apply_robots
+from .schedule import schedule_round, spread_for_fetch
+from .schemas import SEEDS
+from .storage import CheckpointStore
+
+
+@dataclass
+class CrawlConfig:
+    checkpoint_dir: str
+    host: str = ""  # single-host mode (reference-exact)
+    multi_host: bool = False
+    hosts: Optional[Sequence[str]] = None  # allowed hosts (multi mode)
+    limit: int = 0  # MaxEnqueue; exactly limit+1 pushes succeed
+    reject: Sequence[str] = field(default_factory=tuple)
+    accept: Sequence[str] = field(default_factory=tuple)
+    host_budget: int = 0  # per-host per-round politeness budget
+    priority_order: bool = False
+    max_rounds: int = 0
+    num_partitions: Optional[int] = None
+    broadcast_pages: bool = True  # pages table small enough to broadcast
+    # Bloom prefilter (crawlspark.bloom): exactness-safe anti-join bypass
+    use_bloom: bool = False
+    bloom_buckets: int = 16
+    bloom_bits: int = 1 << 20  # 128 KiB per bucket (sandbox-sized default)
+
+
+@dataclass
+class CrawlResult:
+    store: CheckpointStore
+    rounds: int
+    pushed: int
+    limit_reached: bool
+
+    def order_df(self) -> DataFrame:
+        return self.store.read("order")
+
+    def seen_df(self) -> DataFrame:
+        return self.store.read("seen")
+
+    def documents_df(self) -> DataFrame:
+        return self.store.read("documents")
+
+    def metrics_df(self) -> DataFrame:
+        return self.store.read("metrics")
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: CrawlConfig,
+        robots_rules: Optional[DataFrame] = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.cfg = config
+        self.robots = robots_rules
+        self.store = CheckpointStore(spark, config.checkpoint_dir)
+        self.udfs = canon.register_udfs()
+        self.P = config.num_partitions or spark.sparkContext.defaultParallelism
+        if config.multi_host:
+            hosts = config.hosts
+            if hosts is None:
+                hosts = [r["host"] for r in pages.select("host").distinct().collect()]
+            self._hosts_df = spark.createDataFrame(
+                [(h,) for h in hosts], "host string"
+            )
+        else:
+            self._hosts_df = None
+
+    # -- key derivation -------------------------------------------------
+    def _seen_key(self):
+        if self.cfg.multi_host:
+            return F.concat(F.col("host"), F.col("url_key"))
+        return F.col("url_key")
+
+    # -- seeding (Start: sitemap entries first, then seeds) -------------
+    def _init_frontier(
+        self, seeds: Sequence[str], sitemap_entries: Optional[DataFrame]
+    ) -> tuple[int, bool]:
+        rows = []
+        order = 0
+        if sitemap_entries is not None:
+            for r in sitemap_entries.orderBy("entry_order").collect():
+                rows.append((r["loc"], order, float(r["priority"] or 0.0)))
+                order += 1
+        for s in seeds:
+            rows.append((s, order, 0.0))
+            order += 1
+        seeds_df = self.spark.createDataFrame(rows, SEEDS)
+
+        cands = (
+            seeds_df.withColumn("url_key", self.udfs["url_key"](F.col("url")))
+            .filter(F.col("url_key").isNotNull())
+            .withColumn("host", canon.host_col("url"))
+            .withColumn("seen_key", self._seen_key())
+            .withColumn("parent_disc", F.lit(-1).cast("long"))
+            .withColumn("link_index", F.col("seed_order"))
+            .select(
+                "url", "host", "url_key", "seen_key",
+                "parent_disc", "link_index", "priority",
+            )
+        )
+        res = dedup_candidates(
+            cands, None, pushed=0, limit=self.cfg.limit,
+            limit_reached=False, num_partitions=self.P,
+        )
+        # NOTE: reference seed-push failures are logged, not flag-setting
+        # (crawler.go:320-329); the flag only matters for parse-time pushes
+        # and with a 0-room budget the first parse push trips it anyway —
+        # observably identical, asserted by tests vs the oracle.
+        if res.fresh is None:
+            return 0, False
+        frontier = res.fresh.withColumn("round", F.lit(0))
+        self.store.append("frontier", frontier, 0)
+        seen0 = res.fresh.select(
+            F.col("seen_key").alias("url_key"),
+            F.xxhash64("seen_key").alias("key_hash"),
+            F.lit(0).alias("first_round"),
+        )
+        self.store.append("seen", seen0, 0)
+        if self.cfg.use_bloom:
+            from . import bloom as bloom_mod
+
+            bcfg = bloom_mod.BloomConfig(
+                buckets=self.cfg.bloom_buckets,
+                bits_per_bucket=self.cfg.bloom_bits,
+            )
+            self.store.append(
+                "bloom",
+                bloom_mod.build_or_update(
+                    res.fresh.select("seen_key"), "seen_key", None, bcfg
+                ),
+                0,
+            )
+        res.unpersist()
+        return res.pushed_end, res.limit_reached
+
+    def _update_bloom(self, fresh, r: int) -> None:
+        """Roll the bloom snapshot forward to batch r+1 (old bitmaps ∪ the
+        round's fresh seen keys)."""
+        from . import bloom as bloom_mod
+
+        bcfg = bloom_mod.BloomConfig(
+            buckets=self.cfg.bloom_buckets, bits_per_bucket=self.cfg.bloom_bits
+        )
+        old = self.store.read_batch("bloom", r)
+        if fresh is None:
+            if old is not None:
+                self.store.append("bloom", old, r + 1)
+            return
+        updated = bloom_mod.build_or_update(
+            fresh.select("seen_key"), "seen_key", old, bcfg
+        )
+        self.store.append("bloom", updated, r + 1)
+
+    # -- main loop ------------------------------------------------------
+    def run(
+        self,
+        seeds: Sequence[str] = (),
+        sitemap_entries: Optional[DataFrame] = None,
+        resume: bool = False,
+    ) -> CrawlResult:
+        cfg = self.cfg
+        state = self.store.read_state() if resume else None
+        if state is None:
+            pushed, limit_reached = self._init_frontier(seeds, sitemap_entries)
+            r = 0
+            self.store.write_state(
+                {"next_round": 0, "pushed": pushed,
+                 "limit_reached": limit_reached, "finished": False}
+            )
+        else:
+            r = state["next_round"]
+            pushed = state["pushed"]
+            limit_reached = state["limit_reached"]
+            if state.get("finished"):
+                return CrawlResult(self.store, r, pushed, limit_reached)
+            # discard any torn round beyond the last committed state
+            for t in ("documents", "order", "metrics"):
+                self.store.truncate_after(t, r - 1)
+            for t in ("seen", "frontier", "bloom"):
+                self.store.truncate_after(t, r)
+
+        drained = False
+        while cfg.max_rounds == 0 or r < cfg.max_rounds:
+            frontier = self.store.read_batch("frontier", r)
+            if frontier is None:
+                drained = True
+                break
+            frontier = frontier.drop("round")
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                drained = True
+                break
+            scheduled, carry = schedule_round(
+                frontier, cfg.host_budget, cfg.priority_order
+            )
+            scheduled = spread_for_fetch(
+                scheduled.withColumn("round", F.lit(r)), self.P, salt=r
+            )
+            allowed, denied = apply_robots(scheduled, self.robots)
+            fetched = resolve_fetch(
+                allowed,
+                self.pages,
+                allowed_hosts=self._hosts_df,
+                crawl_host=None if cfg.multi_host else cfg.host,
+                broadcast_pages=cfg.broadcast_pages,
+            )
+            parsed = parse_stage(fetched)
+            if self.robots is not None:
+                denied_rows = denied.select(
+                    "url", "host", "url_key", "round", "disc_order", "priority",
+                    F.lit(0).alias("status"),
+                    F.lit(False).alias("fetched_ok"),
+                    F.lit(None).cast(parsed.schema["spans"].dataType).alias("spans"),
+                    F.lit(None).cast(parsed.schema["links"].dataType).alias("links"),
+                )
+                parsed = parsed.unionByName(denied_rows)
+            parsed = parsed.persist()
+
+            stats = parsed.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("fetched_ok").cast("long")).alias("ok"),
+            ).collect()[0]
+            n_sched, n_ok = stats["n"], int(stats["ok"] or 0)
+            if n_sched == 0:
+                parsed.unpersist()
+                break
+
+            # SNK1: documents (Process runs even after the limit flag)
+            self.store.append(
+                "documents",
+                parsed.filter(F.col("fetched_ok")).select(
+                    F.col("url").alias("doc_id"), "spans"
+                ),
+                r,
+            )
+            # lineage/order
+            self.store.append(
+                "order",
+                parsed.select(
+                    "url", "host", "url_key", "round", "disc_order",
+                    "priority", "status", "fetched_ok",
+                ),
+                r,
+            )
+
+            n_kept = 0
+            fresh = None
+            dedup_res = None
+            if not limit_reached:
+                links = parsed.filter(F.col("fetched_ok")).select(
+                    F.col("url").alias("parent_url"),
+                    F.col("disc_order").alias("parent_disc"),
+                    "priority",
+                    F.explode("links").alias("l"),
+                )
+                resolved = links.select(
+                    "parent_url", "parent_disc", "priority",
+                    F.col("l.link_index").alias("link_index"),
+                    self.udfs["resolve"](
+                        F.col("parent_url"), F.col("l.href")
+                    ).alias("url"),
+                ).filter(F.col("url").isNotNull())
+
+                if cfg.multi_host:
+                    resolved = resolved.withColumn(
+                        "host", canon.host_col("url")
+                    ).join(F.broadcast(self._hosts_df), "host", "left_semi")
+                else:
+                    resolved = resolved.filter(
+                        accept_filter_col(
+                            "url", cfg.host, list(cfg.reject), list(cfg.accept)
+                        )
+                    ).withColumn("host", canon.host_col("url"))
+
+                cands = resolved.withColumn(
+                    "url_key", self.udfs["url_key"](F.col("url"))
+                ).filter(F.col("url_key").isNotNull()).withColumn(
+                    "seen_key", self._seen_key()
+                ).select(
+                    "url", "host", "url_key", "seen_key",
+                    "parent_disc", "link_index", "priority",
+                )
+                seen = self.store.read("seen")
+                bloom_arg = None
+                if cfg.use_bloom:
+                    from . import bloom as bloom_mod
+
+                    bcfg = bloom_mod.BloomConfig(
+                        buckets=cfg.bloom_buckets, bits_per_bucket=cfg.bloom_bits
+                    )
+                    bloom_df = self.store.read_batch("bloom", r)
+                    if bloom_df is not None:
+                        bloom_arg = (self.spark, bloom_mod.to_dict(bloom_df), bcfg)
+                res = dedup_candidates(
+                    cands, seen.select(F.col("url_key").alias("seen_key")),
+                    pushed=pushed, limit=cfg.limit,
+                    limit_reached=limit_reached, num_partitions=self.P,
+                    bloom=bloom_arg,
+                )
+                dedup_res = res
+                pushed = res.pushed_end
+                limit_reached = res.limit_reached
+                n_kept = res.n_kept
+                fresh = res.fresh
+                if fresh is not None and n_kept > 0:
+                    self.store.append(
+                        "seen",
+                        fresh.select(
+                            F.col("seen_key").alias("url_key"),
+                            F.xxhash64("seen_key").alias("key_hash"),
+                            F.lit(r + 1).alias("first_round"),
+                        ),
+                        r + 1,
+                    )
+                if cfg.use_bloom:
+                    self._update_bloom(fresh if n_kept > 0 else None, r)
+
+            # metrics (SNK2)
+            self.store.append(
+                "metrics",
+                self.spark.createDataFrame(
+                    [(r, n_sched, n_ok, n_sched - n_ok, n_kept)],
+                    "round int, scheduled long, fetched_ok long, failed long, new_urls long",
+                ),
+                r,
+            )
+
+            # next frontier = carryover ∪ fresh (FIFO: carry first by disc)
+            parts = []
+            if carry is not None:
+                parts.append(carry.select(
+                    "url", "host", "url_key", "seen_key", "disc_order", "priority"
+                ))
+            if fresh is not None and n_kept > 0:
+                parts.append(fresh)
+            n_carry = n_frontier - n_sched
+            if parts:
+                nxt = parts[0]
+                for p in parts[1:]:
+                    nxt = nxt.unionByName(p)
+                nxt = nxt.withColumn("round", F.lit(r + 1))
+                self.store.append("frontier", nxt, r + 1)
+            has_next = (n_carry + n_kept) > 0
+
+            parsed.unpersist()
+            if dedup_res is not None:
+                dedup_res.unpersist()
+            r += 1
+            self.store.write_state(
+                {"next_round": r, "pushed": pushed,
+                 "limit_reached": limit_reached, "finished": not has_next}
+            )
+            if not has_next:
+                drained = True
+                break
+
+        # only a drained frontier finishes the crawl; a max_rounds stop
+        # leaves state resumable (north rule: resumable from any round)
+        if drained:
+            self.store.write_state(
+                {"next_round": r, "pushed": pushed,
+                 "limit_reached": limit_reached, "finished": True}
+            )
+        return CrawlResult(self.store, r, pushed, limit_reached)

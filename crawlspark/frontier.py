@@ -1,0 +1,240 @@
+"""Frontier dedup / ordering / budget (Q1) — the set algebra that replaces
+the reference's mutex-guarded in-memory seen map (queue.go:54-84).
+
+Scale design:
+- Within-round first-wins dedup: window ``row_number() == 1`` over the seen
+  key ordered by (parent_disc, link_index) — deterministic, unlike
+  dropDuplicates (SURVEY.md Q1).
+- Cross-round dedup: ``left_anti`` join against the append-only seen table;
+  Spark's runtime Bloom filter assists, and crawlspark.bloom provides the
+  explicit partitioned prefilter for 10^10-key scale. Exactness always
+  comes from the anti-join.
+- Global FIFO numbering: a *distributed* dense index — range-repartition on
+  the order key, per-partition row_number, plus broadcast cumulative
+  offsets. No single-partition window, no driver collect of data rows
+  (only one count per partition reaches the driver).
+- limit+1 budget: ``done > limit`` is checked before increment in the
+  reference (queue.go:64-67) ⇒ exactly limit+1 pushes succeed; dedup
+  happens after the limit check, so any push *attempt* past the budget —
+  duplicate or not — sets the worker's stop flag (crawler.go:244-246).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEBUG_TIMING = os.environ.get("CRAWLSPARK_DEBUG_TIMING") == "1"
+
+
+def _t(label: str, t0: float) -> float:
+    if _DEBUG_TIMING:
+        print(f"    [frontier] {label}: {time.time() - t0:.1f}s", flush=True)
+    return time.time()
+
+
+def with_dense_order(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str,
+    start: int = 0,
+    num_partitions: Optional[int] = None,
+    handles: Optional[list] = None,
+) -> Tuple[DataFrame, int]:
+    """Assign a dense 0-based global index in ``order_cols`` order, fully
+    distributed: range partition → per-partition row_number + cumulative
+    partition offsets (computed from per-partition counts; only #partitions
+    scalars hit the driver). Returns (df_with_index, end_index).
+
+    The input is persisted internally (two actions share the range
+    exchange); caller should not rely on the persisted handle."""
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    t0 = time.time()
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if handles is not None:
+        handles.append(ranged)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    _t("dense-order counts collect", t0)
+    offsets = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        offset_col = F.coalesce(mapping[F.col("_pid")], F.lit(start))
+    else:
+        # no rows at all — plan must still typecheck (map() is VOID-typed)
+        offset_col = F.lit(start)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out_col, (F.col("_rn") - 1 + offset_col).cast("long"))
+        .drop("_pid", "_rn")
+    )
+    return out, acc
+
+
+@dataclass
+class DedupResult:
+    fresh: DataFrame  # new frontier rows (url, host, url_key, seen_key, disc_order, priority)
+    pushed_end: int  # global push counter after this round
+    n_attempts: int
+    n_after_first_wins: int
+    n_new: int  # unique candidates not yet seen
+    n_kept: int  # after budget cut
+    limit_reached: bool
+    handles: tuple = ()  # persisted DataFrames for the caller to unpersist
+
+    def unpersist(self):
+        for h in self.handles:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+
+
+def dedup_candidates(
+    cands: DataFrame,
+    seen: Optional[DataFrame],
+    pushed: int,
+    limit: int,
+    limit_reached: bool,
+    num_partitions: Optional[int] = None,
+    bloom: Optional[tuple] = None,
+) -> DedupResult:
+    """Apply push semantics to this round's accepted candidates.
+
+    ``cands`` columns: url, host, url_key, seen_key, parent_disc,
+    link_index, priority. ``seen``: DataFrame with seen_key (or None).
+    ``pushed``: successful pushes so far (== next disc_order).
+    ``bloom``: optional (spark, bucket→bitmap dict, BloomConfig) — splits
+    candidates so only possibly-seen rows pay the anti-join shuffle;
+    bloom-negative rows are provably new (exactness preserved).
+    """
+    handles = []
+    if limit > 0:
+        # attempt counting is only consulted by the limit state machine;
+        # skip the extra job entirely in the unlimited case
+        cands = cands.persist()
+        handles.append(cands)
+        n_attempts = cands.count()
+        if n_attempts == 0:
+            cands.unpersist()
+            return DedupResult(None, pushed, 0, 0, 0, 0, limit_reached)
+    else:
+        n_attempts = -1  # unknown, not needed
+
+    order_key = [F.col("parent_disc"), F.col("link_index")]
+
+    # within-round first-wins (the first URL variant for a key is enqueued)
+    w = Window.partitionBy("seen_key").orderBy(*order_key)
+    first = (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # cross-round dedup — exactness source of truth
+    if seen is not None:
+        if bloom is not None:
+            from .bloom import split_candidates
+
+            spark, bdict, bcfg = bloom
+            maybe, definite = split_candidates(
+                spark, first, "seen_key", bdict, bcfg
+            )
+            new = maybe.join(
+                seen.select("seen_key"), "seen_key", "left_anti"
+            ).unionByName(definite)
+        else:
+            new = first.join(seen.select("seen_key"), "seen_key", "left_anti")
+    else:
+        new = first
+    # Materialize the deduped set ONCE before dense ordering: the range
+    # partitioner samples its input to pick bounds, so an uncached input
+    # would re-run the whole explode→resolve→window→anti-join chain three
+    # times (sample, exchange, counts). With the cache, sampling and the
+    # exchange read a small cached set.
+    t0 = time.time()
+    new = new.persist()
+    handles.append(new)
+    n_new = new.count()
+    t0 = _t("materialize(new)", t0)
+    new, _ = with_dense_order(
+        new, order_key, "_idx", start=0, num_partitions=num_partitions,
+        handles=handles,
+    )
+    t0 = _t("dense-order(build)", t0)
+    n_after_first_wins = n_new  # (first-wins count only needed for lineage)
+
+    # budget: pushes succeed while done <= limit ⇒ room = limit+1-pushed
+    if limit > 0:
+        room = max(limit + 1 - pushed, 0)
+    else:
+        room = None
+
+    if room is not None and n_new > room:
+        kept = new.filter(F.col("_idx") < room)
+        n_kept = room
+        limit_hit = True
+    else:
+        kept = new
+        n_kept = n_new
+        # a push attempt beyond the budget (even a duplicate) trips the
+        # worker stop flag; detect trailing attempts past the last slot
+        limit_hit = False
+        if room is not None and n_new == room and room >= 0:
+            if n_attempts > n_new:
+                # were any attempts ordered after the budget-exhausting push?
+                if room == 0:
+                    limit_hit = n_attempts > 0
+                else:
+                    last = (
+                        kept.orderBy(F.col("_idx").desc())
+                        .select("parent_disc", "link_index")
+                        .limit(1)
+                        .collect()
+                    )
+                    if last:
+                        ld, li = last[0]["parent_disc"], last[0]["link_index"]
+                        trailing = cands.filter(
+                            (F.col("parent_disc") > ld)
+                            | (
+                                (F.col("parent_disc") == ld)
+                                & (F.col("link_index") > li)
+                            )
+                        ).count()
+                        limit_hit = trailing > 0
+        elif room is not None and room == 0 and n_attempts > 0:
+            limit_hit = True
+
+    fresh = kept.withColumn(
+        "disc_order", (F.col("_idx") + F.lit(pushed)).cast("long")
+    ).select("url", "host", "url_key", "seen_key", "disc_order", "priority")
+
+    return DedupResult(
+        fresh=fresh,
+        pushed_end=pushed + n_kept,
+        n_attempts=n_attempts,
+        n_after_first_wins=n_after_first_wins,
+        n_new=n_new,
+        n_kept=n_kept,
+        limit_reached=limit_reached or limit_hit,
+        handles=tuple(handles),
+    )

@@ -107,7 +107,12 @@ def extract_links(html: Optional[str]) -> List[str]:
 
 def extract_spans(page_url: URL, html: Optional[str]) -> List[Span]:
     """P4: interleaved text+media span sequence for one fetched page."""
-    ex = extract(html)
+    return spans_from_extractor(page_url, extract(html))
+
+
+def spans_from_extractor(page_url: URL, ex: _Extractor) -> List[Span]:
+    """Span assembly from an existing extraction (lets the fused Spark
+    stage parse each page exactly once for both links and spans)."""
     events: List[Tuple[int, str, str]] = []  # (pos, kind, payload)
     for pos, data in ex.texts:
         events.append((pos, "text", data))

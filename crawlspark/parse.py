@@ -1,0 +1,66 @@
+"""Fused parse stage (P1-P4): one ``mapInPandas`` pass per round turns
+fetched pages into (spans, links) — HTML parse runs exactly once per page
+and its two products stay nested until after the documents write, so the
+expensive work is never recomputed (SURVEY.md P3: the reference pipelines
+guards→get→parse→extract→process in one worker pass, crawler.go:184-215).
+
+Per-row Python at the *Spark* level: none — batches arrive as Arrow
+RecordBatches; the per-document HTML parse inside the batch is the same
+inherently-per-document work the reference does per URL, minus the
+serialization (Arrow moves the batch in one copy).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from .htmlparse import extract, spans_from_extractor
+from .purl import parse_url
+from .schemas import PARSED
+
+_PASSTHROUGH = ["url", "host", "url_key", "round", "disc_order", "priority"]
+
+
+def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {c: pdf[c] for c in _PASSTHROUGH}
+        statuses = pdf["status"]
+        fetched_ok = []
+        spans_col = []
+        links_col = []
+        for url, status, html, ok_guard in zip(
+            pdf["url"], statuses, pdf["content_html"], pdf["guard_ok"]
+        ):
+            ok = bool(ok_guard) and status == 200 and html is not None
+            u = parse_url(url) if ok else None
+            if ok and u is not None:
+                ex = extract(html)
+                ok = ex.ok
+                if ok:
+                    spans = spans_from_extractor(u, ex)
+                    spans_col.append([s._asdict() for s in spans])
+                    links_col.append(
+                        [{"link_index": i, "href": h} for i, h in enumerate(ex.hrefs)]
+                    )
+                else:
+                    spans_col.append(None)
+                    links_col.append(None)
+            else:
+                ok = False
+                spans_col.append(None)
+                links_col.append(None)
+            fetched_ok.append(ok)
+        out["status"] = statuses.astype("int32")
+        out["fetched_ok"] = pd.Series(fetched_ok, index=pdf.index)
+        out["spans"] = pd.Series(spans_col, index=pdf.index, dtype=object)
+        out["links"] = pd.Series(links_col, index=pdf.index, dtype=object)
+        yield pd.DataFrame(out)
+
+
+def parse_stage(fetched):
+    """fetched: DataFrame with frontier cols + (status, content_html,
+    guard_ok) → PARSED rows (spans + links nested arrays)."""
+    cols = _PASSTHROUGH + ["status", "content_html", "guard_ok"]
+    return fetched.select(*cols).mapInPandas(_parse_batch, PARSED)

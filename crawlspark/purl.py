@@ -23,20 +23,25 @@ without a SparkSession.
 
 from __future__ import annotations
 
+import re as _re
 from typing import NamedTuple, Optional
-from urllib.parse import urlsplit
+
+_SCHEME_RE = _re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):(.*)$", _re.DOTALL)
+# Go rejects these in host names (net/url: "invalid character ... in host")
+_BAD_HOST_CHARS = set(' <>"{}|\\^`')
 
 
 class URL(NamedTuple):
     """Minimal URL struct mirroring the fields Go's net/url.URL exposes
     that the reference actually uses (scheme, host, path, rawquery,
-    fragment)."""
+    fragment, opaque)."""
 
     scheme: str
     host: str
     path: str
     query: str
     fragment: str
+    opaque: str = ""
 
     @property
     def is_abs(self) -> bool:
@@ -45,13 +50,16 @@ class URL(NamedTuple):
 
     def to_string(self) -> str:
         """Reconstruct the URL string the way Go's url.URL.String() does for
-        the simple http(s) URLs this engine deals with."""
+        the URL shapes this engine deals with."""
         out = []
         if self.scheme:
             out.append(self.scheme + ":")
-        if self.host:
-            out.append("//" + self.host)
-        out.append(self.path)
+        if self.opaque:
+            out.append(self.opaque)
+        else:
+            if self.host:
+                out.append("//" + self.host)
+            out.append(self.path)
         if self.query:
             out.append("?" + self.query)
         if self.fragment:
@@ -60,27 +68,63 @@ class URL(NamedTuple):
 
 
 def parse_url(raw: str) -> Optional[URL]:
-    """Parse like Go url.Parse for the subset of URLs a crawler meets.
+    """Parse like Go's url.Parse. Implemented by hand rather than with
+    urllib.parse.urlsplit because urlsplit silently strips surrounding
+    whitespace and tolerates spaces in hosts — Go does neither, and link
+    skipping/acceptance depends on those behaviors exactly:
 
-    Returns None where Go's url.Parse would error (control characters) —
-    the caller skips the link, mirroring crawler.go:226-228.
+    - control characters anywhere ⇒ error ⇒ None (link skipped,
+      crawler.go:226-228)
+    - ``" http://x"`` (leading space) ⇒ scheme parse fails ⇒ RELATIVE path
+      URL (resolved against the parent by normalize's default case)
+    - ``"http://x "`` (space in host) ⇒ error ⇒ None
     """
     if raw is None:
         return None
     for ch in raw:
         if ord(ch) < 0x20 or ch == "\x7f":
             return None
-    try:
-        parts = urlsplit(raw)
-    except ValueError:
-        return None
-    return URL(
-        scheme=parts.scheme,
-        host=parts.netloc,
-        path=parts.path,
-        query=parts.query,
-        fragment=parts.fragment,
-    )
+
+    s = raw
+    fragment = ""
+    i = s.find("#")
+    if i >= 0:
+        s, fragment = s[:i], s[i + 1 :]
+
+    scheme = ""
+    opaque = ""
+    m = _SCHEME_RE.match(s)
+    if m:
+        scheme, rest = m.group(1).lower(), m.group(2)
+        if rest and not rest.startswith("/"):
+            # opaque URL, e.g. mailto:user@host (never keyed: the accept
+            # filter rejects non-crawl-host URLs before Push)
+            query = ""
+            q = rest.find("?")
+            if q >= 0:
+                rest, query = rest[:q], rest[q + 1 :]
+            return URL(scheme, "", "", query, fragment, opaque=rest)
+    else:
+        rest = s
+
+    host = ""
+    if rest.startswith("//"):
+        rest = rest[2:]
+        j = len(rest)
+        for k, ch in enumerate(rest):
+            if ch in "/?#":
+                j = k
+                break
+        host, rest = rest[:j], rest[j:]
+        if any(c in _BAD_HOST_CHARS for c in host):
+            return None
+
+    query = ""
+    q = rest.find("?")
+    if q >= 0:
+        rest, query = rest[:q], rest[q + 1 :]
+
+    return URL(scheme, host, rest, query, fragment)
 
 
 def clean_path(path: str) -> str:

@@ -51,11 +51,13 @@ def normalize_text_col(col):
 
 
 # DuckDB-compatible SQL expression used by __spark_entry__.oracle_sql for
-# the cross-check of this operator (DuckDB regexp_replace needs the 'g'
-# flag for global replacement; Spark's replaces all matches by default).
+# the cross-check of this operator. DuckDB regexp_replace needs the 'g'
+# flag, and its regex engine is RE2: codepoints must be \x{0085}, not
+# Java-style backslash-u escapes (which RE2 silently treats as literal
+# characters, corrupting the class).
 def duckdb_normalize_sql(expr: str) -> str:
     return (
         "regexp_replace(regexp_replace(regexp_replace("
         f"{expr}, '\\r\\n', '\\n', 'g'), '\\r', '\\n', 'g'), "
-        "'[ \\t\\x0B\\f\\u0085\\u00A0]+', ' ', 'g')"
+        "'[ \\t\\x0B\\f\\x{0085}\\x{00A0}]+', ' ', 'g')"
     )

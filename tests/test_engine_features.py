@@ -1,0 +1,125 @@
+"""Engine feature tests: robots gate, sitemap seeding, priority mode,
+checkpoint/resume, determinism across runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.engine import CrawlConfig, Crawler
+from crawlspark.oracle import crawl as oracle_crawl
+from crawlspark.schemas import PAGES, ROBOTS_RULE, SITEMAP_ENTRY
+from crawlspark.synth import basic16, pages_index, richsite
+
+
+def make_crawler(spark, tmp_path, pages, robots=None, **cfg_kwargs):
+    pages_df = spark.createDataFrame(pages, PAGES)
+    cfg = CrawlConfig(checkpoint_dir=str(tmp_path / "ckpt"), **cfg_kwargs)
+    return Crawler(spark, pages_df, cfg, robots_rules=robots)
+
+
+def test_robots_denied_counted_not_fetched(spark, tmp_path):
+    pages, seeds = basic16()
+    rules = spark.createDataFrame(
+        [("example.com", "/sub2/", False, None)], ROBOTS_RULE
+    )
+    res = make_crawler(
+        spark, tmp_path, pages, robots=rules, host="example.com"
+    ).run(seeds)
+    order = {r["url_key"]: r for r in res.order_df().collect()}
+    # /sub2/ listing and its children are attempted-but-denied
+    assert not order["/sub2"]["fetched_ok"]
+    # sub2-0..3 were discovered via site1 links (push is not robots-gated —
+    # the reference consults robots at fetch time, crawler.go:31-33)
+    assert "/sub2/sub2-0.html" in order
+    assert not order["/sub2/sub2-0.html"]["fetched_ok"]
+    # sub2-4..9 never discovered (their only source listing was denied)
+    assert "/sub2/sub2-9.html" not in order
+    # documents exist only for allowed+fetched pages
+    docs = {r["doc_id"] for r in res.documents_df().collect()}
+    assert "http://example.com/sub2/sub2-0.html" not in docs
+    assert "http://example.com/site1.html" in docs
+
+
+def test_robots_longest_prefix_wins(spark, tmp_path):
+    pages, seeds = basic16()
+    rules = spark.createDataFrame(
+        [
+            ("example.com", "/sub2/", False, None),
+            ("example.com", "/sub2/sub2-1", True, None),
+        ],
+        ROBOTS_RULE,
+    )
+    res = make_crawler(
+        spark, tmp_path, pages, robots=rules, host="example.com"
+    ).run(seeds)
+    order = {r["url_key"]: r for r in res.order_df().collect()}
+    assert not order["/sub2/sub2-0.html"]["fetched_ok"]
+    assert order["/sub2/sub2-1.html"]["fetched_ok"]
+
+
+def test_sitemap_entries_seed_first_with_priority(spark, tmp_path):
+    pages, seeds = basic16()
+    sm = spark.createDataFrame(
+        [("http://example.com/site2.html", 0.9, None, None, 0)], SITEMAP_ENTRY
+    )
+    res = make_crawler(spark, tmp_path, pages, host="example.com").run(
+        seeds, sitemap_entries=sm
+    )
+    oracle = oracle_crawl(
+        pages_index(pages), seeds, "example.com",
+        sitemap_entries=[("http://example.com/site2.html", 0.9)],
+    )
+    rows = sorted(
+        res.order_df().collect(), key=lambda r: r["disc_order"]
+    )
+    assert rows[0]["url"] == "http://example.com/site2.html"
+    assert rows[0]["priority"] == 0.9
+    assert res.pushed == oracle.visited == 16
+    got = [(r["url"], r["disc_order"]) for r in rows]
+    want = sorted(
+        ((r.url, r.disc_order) for r in oracle.order), key=lambda t: t[1]
+    )
+    assert got == want
+
+
+def test_resume_mid_crawl_identical(spark, tmp_path):
+    pages, seeds = richsite()
+    full = make_crawler(
+        spark, tmp_path / "full", pages, host="rich.example"
+    ).run(seeds)
+    # interrupted run: stop after 1 round, then resume to completion
+    part = make_crawler(
+        spark, tmp_path / "part", pages, host="rich.example", max_rounds=1
+    ).run(seeds)
+    assert part.rounds == 1
+    resumed = make_crawler(
+        spark, tmp_path / "part", pages, host="rich.example"
+    ).run(seeds, resume=True)
+
+    def order_tuples(res):
+        return sorted(
+            (r["url"], r["round"], r["disc_order"], r["fetched_ok"])
+            for r in res.order_df().collect()
+        )
+
+    assert order_tuples(resumed) == order_tuples(full)
+    assert resumed.pushed == full.pushed
+    seen_a = {r["url_key"] for r in resumed.seen_df().collect()}
+    seen_b = {r["url_key"] for r in full.seen_df().collect()}
+    assert seen_a == seen_b
+
+
+def test_rerun_same_config_deterministic(spark, tmp_path):
+    pages, seeds = richsite()
+    a = make_crawler(spark, tmp_path / "a", pages, host="rich.example").run(seeds)
+    b = make_crawler(spark, tmp_path / "b", pages, host="rich.example").run(seeds)
+    def checksum(res):
+        return res.order_df().agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("url", F.col("disc_order").cast("string")),
+                    F.lit(1 << 32),
+                )
+            )
+        ).collect()[0][0]
+
+    assert checksum(a) == checksum(b)

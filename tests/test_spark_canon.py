@@ -1,0 +1,106 @@
+"""Spark-side equivalence: the Catalyst regexp chain (T1) and the native
+accept filter / pandas UDFs must agree with the pure-Python contract when
+run through a real session, including plan-level checks (pushdown,
+codegen)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import canon
+from crawlspark.purl import accept, normalize, normalize_key, parse_url
+from crawlspark.textnorm import normalize_text, normalize_text_col
+from tests.test_textnorm import CORPUS
+
+
+def test_textnorm_catalyst_chain_matches_python(spark):
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(CORPUS)], "i int, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text_col("s").alias("n")).collect()
+    }
+    for i, (inp, want) in enumerate(CORPUS):
+        assert got[i] == want == normalize_text(inp)
+
+
+def test_udfs_match_purl_through_spark(spark):
+    udfs = canon.register_udfs()
+    rows = [
+        ("http://google.com/sub", "search?q=1"),
+        ("http://google.com", "#frag"),
+        ("http://h.example/dir/page.html", "../up.html"),
+        ("http://h.example/a/", "//cdn.example/x.png"),
+        ("http://h.example", "mailto:x@y"),
+    ]
+    df = spark.createDataFrame(rows, "parent string, href string")
+    out = df.select(
+        "parent", "href",
+        udfs["resolve"](F.col("parent"), F.col("href")).alias("resolved"),
+    ).withColumn("key", udfs["url_key"](F.col("resolved"))).collect()
+    for r in out:
+        u = normalize(parse_url(r["parent"]), r["href"])
+        want_resolved = u.to_string() if u else None
+        assert r["resolved"] == want_resolved
+        if u is not None:
+            assert r["key"] == normalize_key(parse_url(r["resolved"]))
+
+
+def test_accept_filter_col_matches_purl(spark):
+    urls = [
+        "http://example.com/site1.html",
+        "http://example.com/notwant",
+        "http://other.com/x",
+        "http://example.com:8080/x",
+    ]
+    reject, acc = ["notwant"], [r"\.html$", "x"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["ok"]
+        for r in df.select(
+            "url",
+            canon.accept_filter_col("url", "example.com", reject, acc).alias("ok"),
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == accept(parse_url(u), "example.com", reject, acc)
+
+
+def test_parquet_scan_pushdown(spark, tmp_path):
+    """Filter + projection must reach the parquet scan (the 100 TB
+    contract: a scan reading all columns for a 2-column projection is
+    wrong)."""
+    from crawlspark.schemas import PAGES
+    from crawlspark.synth import richsite
+
+    pages, _ = richsite()
+    path = str(tmp_path / "pages")
+    spark.createDataFrame(pages, PAGES).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("host") == "rich.example")
+        .select("url_key", "status")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(host), EqualTo(host,rich.example)" in plan
+    assert "ReadSchema: struct<host:string,url_key:string,status:int" in plan
+
+
+def test_politeness_topk_no_host_exchange_before_salt(spark):
+    """The two-phase politeness top-k must not hash-partition on bare
+    host in phase 1 (that exchange is exactly the hot-host skew)."""
+    from crawlspark.schedule import schedule_round
+
+    frontier = spark.range(1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+        F.col("id").alias("disc_order"),
+        F.lit(0.0).alias("priority"),
+        F.col("id").cast("string").alias("url_key"),
+        F.col("id").cast("string").alias("seen_key"),
+        F.col("id").cast("string").alias("url"),
+    )
+    sched, carry = schedule_round(frontier, host_budget=5)
+    plan = sched._jdf.queryExecution().executedPlan().toString()
+    # phase-1 window partitions by (host, salt); only the tiny survivor set
+    # (≤ salt×budget per host) is exchanged by bare host
+    assert "hashpartitioning(host" in plan
+    assert "_salt" in plan
