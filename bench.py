@@ -28,6 +28,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PARTS = int(os.environ.get("CRAWLSPARK_BENCH_PARTITIONS", str(0))) or CPUS
 N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "40000"))
 CRAWL_ONLY = os.environ.get("CRAWLSPARK_BENCH_CRAWL_ONLY") == "1"
 CACHE_DIR = f"/tmp/crawlspark_bench_input_{N_PAGES}"
@@ -53,7 +54,7 @@ def ensure_bench_input(spark):
         tmp = CACHE_DIR + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
-        spark.createDataFrame(pages, PAGES).repartition(CPUS).write.mode(
+        spark.createDataFrame(pages, PAGES).repartition(PARTS).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/pages")
         with open(f"{tmp}/seeds.json", "w") as f:
@@ -82,7 +83,7 @@ def run_crawl_bench(spark):
         hosts=hosts,
         host_budget=N_PAGES,  # politeness windows exercised, nothing deferred
         max_rounds=2,
-        num_partitions=CPUS,
+        num_partitions=PARTS,
         broadcast_pages=False,  # the web is not broadcastable at scale
     )
     t0 = time.time()
@@ -131,7 +132,7 @@ def run_query_bench(spark):
 def main():
     from crawlspark.session import get_spark
 
-    spark = get_spark(cores=CPUS, shuffle_partitions=CPUS, app="crawlspark-bench")
+    spark = get_spark(cores=CPUS, shuffle_partitions=PARTS, app="crawlspark-bench")
     crawl = run_crawl_bench(spark)
     queries = {"crawl_frontier_expansion": crawl["crawl_secs"]}
     if not CRAWL_ONLY:

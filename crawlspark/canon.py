@@ -181,26 +181,176 @@ def pd_accept(
     return res.fillna(False)
 
 
+# Java-regex masks for the NATIVE canonicalization fast path. They must
+# match pd_resolve's abs_fast mask and pd_url_key's fast mask exactly —
+# pinned by tests/test_spark_canon.py::test_native_canonize_matches_udf.
+SQL_ABS_SIMPLE = r"^[a-z][a-z0-9+.\-]*://[^\s<>\x22{}|\\^`]*$"
+SQL_PATH_NEEDS_CLEAN = r"(//)|((^|/)\.\.?(/|$))"
+
+
+def canonize_links(df, href_col, udf, native: bool = True):
+    """Derive (url, host, url_key) for candidate links.
+
+    Scale design: the overwhelmingly common case on a real web graph —
+    an absolute, already-canonical href with a dot-segment-free path —
+    is computed ENTIRELY JVM-side (regexp extract/replace inside
+    whole-stage codegen). Only the hard rows (relative hrefs, dot
+    segments, odd schemes/escaping) take the Arrow round-trip through the
+    exact pandas UDF. Both branches implement the same golden contract
+    (purl.normalize/normalize_key); the split is a pure optimization.
+
+    ``df`` must carry ``parent_url`` plus passthrough columns; returns the
+    passthrough columns + (url, host, url_key) with ``href_col`` consumed.
+    """
+    from pyspark.sql import functions as F
+
+    passthrough = [c for c in df.columns if c not in ("parent_url", href_col)]
+    href = F.col(href_col)
+
+    if not native:
+        return df.select(
+            *passthrough,
+            udf(F.col("parent_url"), href).alias("c"),
+        ).select(
+            *passthrough,
+            F.col("c.url").alias("url"),
+            F.col("c.host").alias("host"),
+            F.col("c.url_key").alias("url_key"),
+        )
+
+    # fragment is kept in the URL but never in the key (url.go:52-72)
+    nofrag = F.regexp_replace(href, "#.*$", "")
+    path = F.regexp_extract(nofrag, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+
+    is_native = (
+        href.isNotNull()
+        & href.rlike(SQL_ABS_SIMPLE)
+        & ~href.rlike(r"[\x00-\x1F\x7F]")  # Go url.Parse errors ⇒ skip row
+        & ~path.rlike(SQL_PATH_NEEDS_CLEAN)
+    )
+
+    fast = df.filter(is_native)
+    slow = df.filter(~F.coalesce(is_native, F.lit(False)))
+
+    cleaned = F.regexp_replace(path, r"(.)/$", "$1")
+    key = F.when(cleaned == "", F.lit("/")).otherwise(cleaned)
+    key = F.when(query != "", F.concat(key, F.lit("?"), query)).otherwise(key)
+    fast_out = fast.select(
+        *passthrough,
+        href.alias("url"),
+        F.regexp_extract(href, SQL_HOST_RE, 1).alias("host"),
+        key.alias("url_key"),
+    )
+    slow_out = slow.select(
+        *passthrough,
+        udf(F.col("parent_url"), href).alias("c"),
+    ).select(
+        *passthrough,
+        F.col("c.url").alias("url"),
+        F.col("c.host").alias("host"),
+        F.col("c.url_key").alias("url_key"),
+    )
+    return fast_out.unionByName(slow_out)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side wrappers
 # ---------------------------------------------------------------------------
 
 
+def pd_canonize(parent_urls: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
+    """Fused U1+U3: resolve the href and derive (url, host, url_key) in ONE
+    vectorized pass — one Arrow transfer instead of three separate UDF
+    evaluations."""
+    url = pd_resolve(parent_urls, hrefs)
+    url_s = pd.Series(url, dtype="string")
+    parts = _split(url_s)
+    host = parts["host"].fillna("").astype(object)
+    key = pd_url_key(url_s)
+    return pd.DataFrame({"url": url, "host": host, "url_key": key})
+
+
 def register_udfs():
     """Create the pandas UDF objects (deferred import so pure-Python callers
-    never need a JVM)."""
+    never need a JVM). CRAWLSPARK_UDF_STATS=1 makes every worker append
+    per-batch (rows, seconds) lines to /tmp/crawlspark_udf_stats.log —
+    the tool for spotting silent recomputation of UDF stages."""
+    import contextlib
+    import gc as _gc
+    import os as _os
+    import time as _time
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    stats = _os.environ.get("CRAWLSPARK_UDF_STATS") == "1"
+
+    def _log(name, n, dt):
+        with open("/tmp/crawlspark_udf_stats.log", "a") as f:
+            f.write(f"{name} {n} {dt:.3f} pid={_os.getpid()}\n")
+
+    @contextlib.contextmanager
+    def _no_gc():
+        # long-lived pyspark workers accumulate large heaps (Arrow buffers,
+        # pandas state); CPython's cycle collector sweeping them on every
+        # allocation storm was measured inflating batch time several-fold.
+        # The UDF bodies build no reference cycles — pause it per batch.
+        was = _gc.isenabled()
+        _gc.disable()
+        try:
+            yield
+        finally:
+            if was:
+                _gc.enable()
+
     @F.pandas_udf(T.StringType())
     def url_key_udf(urls: pd.Series) -> pd.Series:
-        return pd_url_key(urls)
+        t0 = _time.time()
+        with _no_gc():
+            out = pd_url_key(urls)
+        if stats:
+            _log("url_key", len(urls), _time.time() - t0)
+        return out
 
     @F.pandas_udf(T.StringType())
     def resolve_udf(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
-        return pd_resolve(parent_urls, hrefs)
+        t0 = _time.time()
+        with _no_gc():
+            out = pd_resolve(parent_urls, hrefs)
+        if stats:
+            _log("resolve", len(hrefs), _time.time() - t0)
+        return out
 
-    return {"url_key": url_key_udf, "resolve": resolve_udf}
+    canon_t = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("url_key", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(canon_t)
+    def canonize_udf(parent_urls: pd.Series, hrefs: pd.Series) -> pd.DataFrame:
+        t0 = _time.time()
+        with _no_gc():
+            out = pd_canonize(parent_urls, hrefs)
+        if stats:
+            _log("canonize", len(hrefs), _time.time() - t0)
+        return out
+
+    # NOTE on double evaluation: a deterministic Python UDF referenced by
+    # both a Filter and a Project gets cloned by filter pushdown and was
+    # measured evaluating 2-3x per row. The engine prevents this with an
+    # explicit persist barrier between the UDF projection and the filters
+    # (engine.py candidate pipeline) — NOT by marking the UDFs
+    # non-deterministic, which blocked enough other optimizations to be a
+    # net 7x loss on the window/anti-join stages.
+    return {
+        "url_key": url_key_udf,
+        "resolve": resolve_udf,
+        "canonize": canonize_udf,
+    }
 
 
 def host_col(url_col):
@@ -210,6 +360,26 @@ def host_col(url_col):
 
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     return F.regexp_extract(c, SQL_HOST_RE, 1)
+
+
+def accept_filter_with_host(
+    url_col, host_c, host: str, reject: list[str], accept_pats: list[str]
+):
+    """F1 with a pre-computed host column (from the fused canonize UDF) —
+    saves re-deriving the host by regexp on the hot path."""
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    h = F.col(host_c) if isinstance(host_c, str) else host_c
+    pred = h == F.lit(host)
+    for pat in reject:
+        pred = pred & ~c.rlike(pat)
+    if accept_pats:
+        any_acc = F.lit(False)
+        for pat in accept_pats:
+            any_acc = any_acc | c.rlike(pat)
+        pred = pred & any_acc
+    return pred
 
 
 def accept_filter_col(url_col, host: str, reject: list[str], accept_pats: list[str]):

@@ -27,6 +27,8 @@ order, seen set, and span documents. Verified against crawlspark.oracle.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -34,7 +36,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import canon
-from .canon import accept_filter_col
 from .fetch import resolve_fetch
 from .frontier import dedup_candidates
 from .parse import parse_stage
@@ -83,6 +84,9 @@ class CrawlResult:
     def metrics_df(self) -> DataFrame:
         return self.store.read("metrics")
 
+    def lineage_df(self) -> DataFrame:
+        return self.store.read("lineage")
+
 
 class Crawler:
     def __init__(
@@ -93,8 +97,16 @@ class Crawler:
         robots_rules: Optional[DataFrame] = None,
     ):
         self.spark = spark
-        self.pages = pages
         self.cfg = config
+        P = config.num_partitions or spark.sparkContext.defaultParallelism
+        if config.broadcast_pages:
+            self.pages = pages
+        else:
+            # co-locate the web table by the fetch-join key ONCE (the
+            # in-sandbox analogue of bucketing the pages/Iceberg table):
+            # every round's resolver join then reads this cached layout
+            # with no exchange and no sort on the big side
+            self.pages = pages.repartition(P, "host", "url_key").persist()
         self.robots = robots_rules
         self.store = CheckpointStore(spark, config.checkpoint_dir)
         self.udfs = canon.register_udfs()
@@ -218,7 +230,7 @@ class Crawler:
             if state.get("finished"):
                 return CrawlResult(self.store, r, pushed, limit_reached)
             # discard any torn round beyond the last committed state
-            for t in ("documents", "order", "metrics"):
+            for t in ("documents", "order", "metrics", "lineage"):
                 self.store.truncate_after(t, r - 1)
             for t in ("seen", "frontier", "bloom"):
                 self.store.truncate_after(t, r)
@@ -260,11 +272,18 @@ class Crawler:
                 parsed = parsed.unionByName(denied_rows)
             parsed = parsed.persist()
 
+            _t0 = time.time()
             stats = parsed.agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("fetched_ok").cast("long")).alias("ok"),
             ).collect()[0]
             n_sched, n_ok = stats["n"], int(stats["ok"] or 0)
+            if os.environ.get("CRAWLSPARK_DEBUG_TIMING") == "1":
+                print(
+                    f"    [engine] r{r} fetch+parse+stats: "
+                    f"{time.time() - _t0:.1f}s sched={n_sched}",
+                    flush=True,
+                )
             if n_sched == 0:
                 parsed.unpersist()
                 break
@@ -290,40 +309,87 @@ class Crawler:
             n_kept = 0
             fresh = None
             dedup_res = None
+            round_handles = []
             if not limit_reached:
                 links = parsed.filter(F.col("fetched_ok")).select(
                     F.col("url").alias("parent_url"),
                     F.col("disc_order").alias("parent_disc"),
                     "priority",
                     F.explode("links").alias("l"),
-                )
-                resolved = links.select(
+                ).select(
                     "parent_url", "parent_disc", "priority",
                     F.col("l.link_index").alias("link_index"),
-                    self.udfs["resolve"](
-                        F.col("parent_url"), F.col("l.href")
-                    ).alias("url"),
-                ).filter(F.col("url").isNotNull())
+                    F.col("l.href").alias("href"),
+                )
+                # canonicalization: JVM-native for the common absolute-href
+                # case, exact fused pandas UDF for the rest (canon.py).
+                # The persist is a deliberate optimizer barrier: without it,
+                # filter pushdown clones the UDF into the Filter and the
+                # pipeline pays ~3x the Python CPU (measured). Downstream
+                # filters/windows read the cache.
+                cands_raw = canon.canonize_links(
+                    links, "href", self.udfs["canonize"]
+                ).persist()
+                round_handles.append(cands_raw)
+                resolved = cands_raw.filter(
+                    F.col("url").isNotNull() & F.col("url_key").isNotNull()
+                )
 
                 if cfg.multi_host:
-                    resolved = resolved.withColumn(
-                        "host", canon.host_col("url")
-                    ).join(F.broadcast(self._hosts_df), "host", "left_semi")
+                    resolved = resolved.join(
+                        F.broadcast(self._hosts_df), "host", "left_semi"
+                    )
                 else:
                     resolved = resolved.filter(
-                        accept_filter_col(
-                            "url", cfg.host, list(cfg.reject), list(cfg.accept)
+                        canon.accept_filter_with_host(
+                            "url", "host", cfg.host,
+                            list(cfg.reject), list(cfg.accept),
                         )
-                    ).withColumn("host", canon.host_col("url"))
+                    )
 
                 cands = resolved.withColumn(
-                    "url_key", self.udfs["url_key"](F.col("url"))
-                ).filter(F.col("url_key").isNotNull()).withColumn(
                     "seen_key", self._seen_key()
                 ).select(
                     "url", "host", "url_key", "seen_key",
                     "parent_disc", "link_index", "priority",
                 )
+
+                # Q3 error-taxonomy counts (one agg over the cached raw
+                # candidates; queue.go:9-21 reasons, 'duplicate' covers
+                # both in-round and cross-round — the reference has a
+                # single ErrDuplicateURL)
+                if cfg.multi_host:
+                    hosts_set = sorted(
+                        r["host"] for r in self._hosts_df.collect()
+                    )
+                    accept_expr = (
+                        F.col("host").isin(*hosts_set)
+                        if hosts_set
+                        else F.lit(False)
+                    )
+                else:
+                    accept_expr = canon.accept_filter_with_host(
+                        "url", "host", cfg.host,
+                        list(cfg.reject), list(cfg.accept),
+                    )
+                lin = cands_raw.agg(
+                    F.count("*").alias("raw"),
+                    F.count(
+                        F.when(
+                            F.col("url").isNotNull()
+                            & F.col("url_key").isNotNull(),
+                            1,
+                        )
+                    ).alias("resolved"),
+                    F.count(
+                        F.when(
+                            F.col("url").isNotNull()
+                            & F.col("url_key").isNotNull()
+                            & accept_expr,
+                            1,
+                        )
+                    ).alias("accepted"),
+                ).collect()[0]
                 seen = self.store.read("seen")
                 bloom_arg = None
                 if cfg.use_bloom:
@@ -359,6 +425,24 @@ class Crawler:
                 if cfg.use_bloom:
                     self._update_bloom(fresh if n_kept > 0 else None, r)
 
+                n_raw, n_res, n_acc = (
+                    int(lin["raw"]), int(lin["resolved"]), int(lin["accepted"])
+                )
+                self.store.append(
+                    "lineage",
+                    self.spark.createDataFrame(
+                        [
+                            (r, "unparseable", n_raw - n_res),
+                            (r, "rejected", n_res - n_acc),
+                            (r, "duplicate", n_acc - res.n_new),
+                            (r, "budget", res.n_new - n_kept),
+                            (r, "pushed", n_kept),
+                        ],
+                        "round int, reason string, n long",
+                    ),
+                    r,
+                )
+
             # metrics (SNK2)
             self.store.append(
                 "metrics",
@@ -389,6 +473,8 @@ class Crawler:
             parsed.unpersist()
             if dedup_res is not None:
                 dedup_res.unpersist()
+            for h in round_handles:
+                h.unpersist()
             r += 1
             self.store.write_state(
                 {"next_round": r, "pushed": pushed,

@@ -63,7 +63,12 @@ def resolve_fetch(
         guard = F.lit(True)
     guard = guard & (F.col("url").rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:"))
 
-    joined = scheduled.withColumn("guard_ok", guard).join(
+    # SHUFFLE_HASH hint: build the hash map on the (small) scheduled batch;
+    # the pages side then streams without the per-round SORT a sort-merge
+    # join would impose on the whole web table. With the pages table
+    # pre-partitioned on (host, url_key) (Crawler init), the pages side
+    # needs no exchange at all — the per-round cost is one scan.
+    joined = scheduled.withColumn("guard_ok", guard).hint("shuffle_hash").join(
         p,
         (F.col("host") == F.col("_phost")) & (F.col("url_key") == F.col("_pkey")),
         "left",

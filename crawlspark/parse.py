@@ -24,7 +24,29 @@ _PASSTHROUGH = ["url", "host", "url_key", "round", "disc_order", "priority"]
 
 
 def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import gc as _gc
+    import os as _os
+    import time as _time
+
+    _stats = _os.environ.get("CRAWLSPARK_UDF_STATS") == "1"
+    # The parse loop allocates heavily (DOM events, span dicts); in
+    # long-lived pyspark workers the cyclic GC fires constantly over the
+    # worker's whole heap (Arrow buffers, pandas state) and was measured
+    # inflating in-batch time several-fold at high worker counts. The
+    # structures built here are acyclic; disable the cycle collector for
+    # the duration of the batch.
+    _gc_was_enabled = _gc.isenabled()
+    _gc.disable()
+    try:
+        yield from _parse_batches_inner(batches, _stats, _os, _time)
+    finally:
+        if _gc_was_enabled:
+            _gc.enable()
+
+
+def _parse_batches_inner(batches, _stats, _os, _time):
     for pdf in batches:
+        _t0 = _time.time()
         out = {c: pdf[c] for c in _PASSTHROUGH}
         statuses = pdf["status"]
         fetched_ok = []
@@ -56,6 +78,11 @@ def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out["fetched_ok"] = pd.Series(fetched_ok, index=pdf.index)
         out["spans"] = pd.Series(spans_col, index=pdf.index, dtype=object)
         out["links"] = pd.Series(links_col, index=pdf.index, dtype=object)
+        if _stats:
+            with open("/tmp/crawlspark_udf_stats.log", "a") as f:
+                f.write(
+                    f"parse {len(pdf)} {_time.time() - _t0:.3f} pid={_os.getpid()}\n"
+                )
         yield pd.DataFrame(out)
 
 

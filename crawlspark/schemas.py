@@ -122,13 +122,12 @@ METRICS = T.StructType(
     ]
 )
 
-# Dropped-candidate lineage (Q3 error taxonomy, queue.go:9-21): reason codes
-# rejected | duplicate | already_seen | budget | unparseable
+# Dropped-candidate lineage (Q3 error taxonomy, queue.go:9-21): per-round
+# counts by reason. 'duplicate' covers in-round first-wins losses and
+# cross-round already-seen alike — the reference has one ErrDuplicateURL.
 LINEAGE = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),
-        T.StructField("url", T.StringType(), True),
-        T.StructField("url_key", T.StringType(), True),
         T.StructField("reason", T.StringType(), False),
         T.StructField("n", T.LongType(), False),
     ]

@@ -81,6 +81,55 @@ def test_sitemap_entries_seed_first_with_priority(spark, tmp_path):
     assert got == want
 
 
+def test_priority_budget_engine_matches_oracle(spark, tmp_path):
+    """Priority-queue mode (north rule): sitemap priorities order the
+    frontier under per-host budgets; engine must match the oracle's
+    discovery order exactly."""
+    pages, seeds = basic16()
+    sm = spark.createDataFrame(
+        [
+            ("http://example.com/sub2/", 0.9, None, None, 0),
+            ("http://example.com/site2.html", 0.5, None, None, 1),
+        ],
+        SITEMAP_ENTRY,
+    )
+    res = make_crawler(
+        spark, tmp_path, pages, host="example.com",
+        host_budget=2, priority_order=True,
+    ).run(seeds, sitemap_entries=sm)
+    oracle = oracle_crawl(
+        pages_index(pages), seeds, "example.com",
+        sitemap_entries=[
+            ("http://example.com/sub2/", 0.9),
+            ("http://example.com/site2.html", 0.5),
+        ],
+        host_budget=2, priority_order=True,
+    )
+    got = sorted(
+        ((r["url"], r["round"], r["disc_order"]) for r in res.order_df().collect()),
+        key=lambda t: t[2],
+    )
+    want = sorted(
+        ((r.url, r.round, r.disc_order) for r in oracle.order), key=lambda t: t[2]
+    )
+    assert got == want
+    assert {r["url_key"] for r in res.seen_df().collect()} == oracle.seen
+
+
+def test_lineage_reason_counts(spark, tmp_path):
+    pages, seeds = richsite()
+    res = make_crawler(spark, tmp_path, pages, host="rich.example").run(seeds)
+    lin = {}
+    for r in res.lineage_df().collect():
+        lin[r["reason"]] = lin.get(r["reason"], 0) + r["n"]
+    # richsite home page has one off-host link (rejected) and a dup link
+    assert lin["rejected"] >= 1
+    assert lin["duplicate"] >= 1
+    # pushed in lineage == total visited minus seeds
+    assert lin["pushed"] == res.pushed - len(seeds)
+    assert lin.get("unparseable", 0) >= 0 and lin.get("budget", 0) == 0
+
+
 def test_resume_mid_crawl_identical(spark, tmp_path):
     pages, seeds = richsite()
     full = make_crawler(

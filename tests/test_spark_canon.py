@@ -65,6 +65,42 @@ def test_accept_filter_col_matches_purl(spark):
         assert got[u] == accept(parse_url(u), "example.com", reject, acc)
 
 
+def test_native_canonize_matches_udf(spark):
+    """The JVM-native canonicalization fast path must agree with the exact
+    pandas-UDF path row for row over every href shape."""
+    from tests.test_canon_vectorized import HREFS, PARENTS
+
+    udfs = canon.register_udfs()
+    rows = []
+    i = 0
+    for p in PARENTS:
+        for h in HREFS:
+            rows.append((p, i, h))
+            i += 1
+    # plus absolute machine-generated links (the native-path bulk case)
+    for j in range(200):
+        rows.append((PARENTS[0], i, f"http://h{j % 7}.example/p/{j}?x={j}#f{j}"))
+        i += 1
+    df = spark.createDataFrame(rows, "parent_url string, rid long, href string")
+
+    got_native = {
+        r["rid"]: (r["url"], r["host"], r["url_key"])
+        for r in canon.canonize_links(df, "href", udfs["canonize"], native=True).collect()
+    }
+    got_udf = {
+        r["rid"]: (r["url"], r["host"], r["url_key"])
+        for r in canon.canonize_links(df, "href", udfs["canonize"], native=False).collect()
+    }
+    assert got_native == got_udf
+    # sanity: the native branch actually covered the machine-generated bulk
+    from pyspark.sql import functions as F
+
+    n_native = df.filter(
+        F.col("href").rlike(canon.SQL_ABS_SIMPLE)
+    ).count()
+    assert n_native >= 200
+
+
 def test_parquet_scan_pushdown(spark, tmp_path):
     """Filter + projection must reach the parquet scan (the 100 TB
     contract: a scan reading all columns for a 2-column projection is
