@@ -76,7 +76,11 @@ def run_crawl_bench(spark):
     pages_df.count()  # warm the input out of the timed section
     hosts = [r["host"] for r in pages_df.select("host").distinct().collect()]
 
-    ckpt = tempfile.mkdtemp(prefix="crawlspark_bench_")
+    # tmpfs for checkpoint I/O: on a real cluster, checkpoint and shuffle
+    # bandwidth scale with the node count; a single sandbox disk does not
+    # and would masquerade as an engine scaling ceiling
+    io_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="crawlspark_bench_", dir=io_root)
     cfg = CrawlConfig(
         checkpoint_dir=ckpt,
         multi_host=True,
@@ -132,7 +136,15 @@ def run_query_bench(spark):
 def main():
     from crawlspark.session import get_spark
 
-    spark = get_spark(cores=CPUS, shuffle_partitions=PARTS, app="crawlspark-bench")
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        shuffle_dir = "/dev/shm/crawlspark_shuffle"
+        os.makedirs(shuffle_dir, exist_ok=True)
+        extra["spark.local.dir"] = shuffle_dir
+    spark = get_spark(
+        cores=CPUS, shuffle_partitions=PARTS, app="crawlspark-bench",
+        extra_conf=extra,
+    )
     crawl = run_crawl_bench(spark)
     queries = {"crawl_frontier_expansion": crawl["crawl_secs"]}
     if not CRAWL_ONLY:
