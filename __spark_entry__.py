@@ -164,6 +164,9 @@ def _q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media pipeline: ref → deterministic PNG bytes → REAL header decode
+    (IHDR byte parsing). Oracle-checked columns exclude phash (a
+    documented placeholder pending a pixel codec) and the raw bytes."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     refs = d.select(
         F.concat(
@@ -173,7 +176,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media_ref")
     )
     return media_features(refs).select(
-        "media_ref", "n_bytes", "format", "width", "height", "phash"
+        "media_ref", "n_bytes", "format", "width", "height"
     )
 
 
@@ -211,6 +214,202 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOP = analysis._STOPWORDS
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _crawl_order_sql() -> str:
+    """Literal-expected oracle: the basic16 golden crawl order is fixed
+    (reference integration_test.go:38-59), so the oracle is the pure-
+    Python reference simulator's output inlined as VALUES."""
+    from crawlspark import oracle as _oracle
+    from crawlspark.synth import pages_index
+
+    pages, seeds = basic16()
+    res = _oracle.crawl(pages_index(pages), seeds, "example.com")
+    rows = ", ".join(
+        f"({_sql_str(r.url)}, {r.round}, {r.disc_order}, "
+        f"{'TRUE' if r.fetched_ok else 'FALSE'})"
+        for r in res.order
+    )
+    return f"""
+SELECT url, CAST("round" AS INTEGER) AS "round",
+       CAST(disc_order AS BIGINT) AS disc_order, fetched_ok
+FROM (VALUES {rows}) AS t(url, "round", disc_order, fetched_ok)
+"""
+
+
+def _crawl_documents_sql() -> str:
+    """Literal-expected oracle for the richsite span documents: the
+    exploded (doc_id, kind, text, media_ref, offset) rows from the
+    pure-Python reference simulator, inlined as VALUES."""
+    from crawlspark import oracle as _oracle
+    from crawlspark.synth import pages_index
+
+    pages, seeds = richsite()
+    res = _oracle.crawl(pages_index(pages), seeds, "rich.example")
+    lits = []
+    for doc_id, spans in res.documents:
+        for s in spans:
+            lits.append(
+                f"({_sql_str(doc_id)}, {_sql_str(s['kind'])}, "
+                f"{_sql_str(s['text'])}, {_sql_str(s['media_ref'])}, "
+                f"{s['offset']})"
+            )
+    rows = ", ".join(lits)
+    return f"""
+SELECT doc_id, kind, text, media_ref, CAST("offset" AS INTEGER) AS "offset"
+FROM (VALUES {rows}) AS t(doc_id, kind, text, media_ref, "offset")
+"""
+
+
+def _minhash_sql(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+    max_docs: int = 2000,
+) -> str:
+    """Bit-exact DuckDB mirror of analysis.minhash_lsh_pairs: md5-prefix
+    base hashes, the same (a·x+b) mod p permutation literals, md5 band
+    keys, band equi-join, agreement-fraction estimate."""
+    params = analysis.minhash_perm_params(num_perm)
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(params)
+    )
+    rpb = num_perm // bands
+    agree = (
+        "round(CAST(len(list_filter(list_zip(mh_a, mh_b), z -> z[1] = z[2]))"
+        f" AS DOUBLE) / {num_perm}, 6)"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id < {max_docs}
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(t) - 3, 0)),
+           i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS s
+  FROM d
+), shf AS (
+  SELECT doc_id, s FROM sh WHERE len(s) > 0
+), ex AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 8))::BIGINT AS x FROM shf
+), perms(i, a, b) AS (VALUES {perm_values}),
+mh AS (
+  SELECT doc_id, i,
+         CAST(min((a::HUGEINT * x + b) % {analysis.MINHASH_P}) AS BIGINT) AS m
+  FROM ex CROSS JOIN perms GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id, list(m ORDER BY i) AS mh FROM mh GROUP BY doc_id
+), bandt AS (
+  SELECT doc_id, mh, b,
+         md5(array_to_string(list_slice(mh, b*{rpb}+1, b*{rpb}+{rpb}), ','))
+           AS band_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) bs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                  a.mh AS mh_a, b2.mh AS mh_b
+  FROM bandt a JOIN bandt b2 USING (b, band_key)
+  WHERE a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, {agree} AS est_jaccard
+FROM pairs
+WHERE {agree} >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming: int = 3, max_docs: int = 2000) -> str:
+    """DuckDB mirror of analysis.simhash_dups: 60-bit md5-prefix token
+    hashes, majority-bit signature, brute-force hamming filter (the LSH
+    chunk guarantee makes the Spark candidate set ≡ the exact hamming
+    predicate, so the oracle may compute it directly)."""
+    bits = analysis.SIMHASH_BITS
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {max_docs}
+), th AS (
+  SELECT doc_id,
+         list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+           AS hs
+  FROM d WHERE len(toks) > 0
+), bitrows AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) >= len(hs)
+              THEN 1::BIGINT << b ELSE 0::BIGINT END AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS b) bs
+), sig AS (
+  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig FROM bitrows GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def _ann_sql(
+    query_vec_id: int = 0, k: int = 10, planes: int = 12,
+    max_hamming: int = 2, seed: int = 42, dim: int = 64,
+) -> str:
+    """DuckDB mirror of analysis.ann_lsh_topk: identical hyperplane
+    literals, sequential-fold dot products for the signature bits (same
+    IEEE op order as F.aggregate), hamming≤r candidate predicate (≡ the
+    Spark bucket equi-join's multi-probe set), exact cosine re-rank.
+    ``dim`` is the embeddings dim of the driver testdata (64)."""
+    H = analysis.ann_hyperplanes(planes, dim, seed)
+    sig_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_transform(list_zip(vec, ["
+        + ", ".join(repr(float(x)) for x in H[p])
+        + "]), z -> z[1] * z[2]), (a, b) -> a + b) > 0 THEN "
+        + str(1 << p)
+        + " ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vec, {sig_terms} AS sig FROM v
+), q AS (
+  SELECT vec AS qvec, sig AS qsig FROM s WHERE vec_id = {query_vec_id}
+)
+SELECT vec_id,
+       round(list_dot_product(vec, qvec)
+             / (sqrt(list_dot_product(vec, vec))
+                * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+FROM s, q
+WHERE vec_id != {query_vec_id}
+  AND bit_count(xor(sig::BIGINT, qsig::BIGINT)) <= {max_hamming}
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+def _media_sql() -> str:
+    """Oracle for the media pipeline: recomputes the deterministic PNG
+    dimensions (16 + md5-hexbyte % 64 — the formula fake_media_bytes
+    encodes into a real IHDR and decode_image parses back out) and the
+    fixed synthetic size (121 bytes)."""
+    return """
+WITH refs AS (
+  SELECT 'http://media.example/img/' || CAST(doc_id AS VARCHAR) || '.png'
+           AS media_ref
+  FROM documents
+), d AS (
+  SELECT media_ref, md5(media_ref) AS dig FROM refs
+)
+SELECT media_ref,
+       CAST(121 AS INTEGER) AS n_bytes,
+       'png' AS format,
+       CAST(16 + (('0x' || substr(dig, 1, 2))::INTEGER % 64) AS INTEGER)
+         AS width,
+       CAST(16 + (('0x' || substr(dig, 3, 2))::INTEGER % 64) AS INTEGER)
+         AS height
+FROM d
+"""
+
+
 def _lang_sql() -> str:
     score_cols = ",\n    ".join(
         "len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}".format(
@@ -239,6 +438,12 @@ SELECT doc_id, {case} AS pred_lang FROM s
 def oracle_sql() -> dict[str, str]:
     en = ", ".join(f"'{w}'" for w in _STOP["en"])
     return {
+        "crawl_order_basic16": _crawl_order_sql(),
+        "crawl_span_documents": _crawl_documents_sql(),
+        "minhash_lsh": _minhash_sql(),
+        "simhash_dups": _simhash_sql(),
+        "ann_lsh_topk": _ann_sql(),
+        "media_features": _media_sql(),
         "politeness_topk": """
 SELECT CAST(user_id AS VARCHAR) AS host, event_id, value
 FROM (
@@ -288,8 +493,11 @@ WITH d AS (
            generate_series(0, greatest(len(t) - 3, 0)),
            i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS s
   FROM d
-), e AS (
+), e0 AS (
   SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+), e AS (
+  -- document-frequency cap on hot shingles (mirrors the Spark df_cap)
+  SELECT * FROM e0 QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 6) AS jaccard

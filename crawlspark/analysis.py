@@ -88,12 +88,24 @@ def _shingles(col, n: int = 3):
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.6, max_docs: int = 400
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.6,
+    max_docs: int = 400,
+    df_cap: int = 100,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: shingle → explode → equi-join
-    on shingle → pair-count → |A∩B|/(|A|+|B|-|A∩B|) ≥ t. Scale: the
-    shingle join shuffles on the shingle hash; hot shingles (stop-gram
-    skew) are dropped via a document-frequency cap before the join."""
+    """N-gram Jaccard near-dup pairs: shingle → explode → equi-join
+    on shingle → pair-count → |A∩B|/(|A|+|B|-|A∩B|) ≥ t.
+
+    Scale: the shingle join shuffles on the shingle hash; a shingle shared
+    by k documents emits k² join rows, so hot shingles (stop-grams) are
+    dropped via the ``df_cap`` document-frequency cap BEFORE the self-join
+    — one count-window over the exploded shingles (same shuffle key as the
+    join). Dropped shingles no longer contribute to |A∩B| (the denominator
+    keeps the full shingle-set sizes), making the score a documented
+    lower-bound approximation for pairs that share stop-grams — the price
+    of bounded join fan-out at 100 TB. The DuckDB oracle applies the
+    identical cap."""
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < max_docs)
@@ -101,6 +113,13 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.size("sh"))
     )
     ex = d.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    ex = (
+        ex.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("na"),
@@ -128,6 +147,34 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+#: universal-hash modulus for MinHash permutations: smallest prime > 2^32.
+#: Base hashes are 32-bit (md5 hex prefix), a < 2^31 ⇒ a·x+b < 2^63: the
+#: whole permutation family stays in signed-64 arithmetic (JVM codegen safe,
+#: ANSI-overflow safe) and is bit-identical in DuckDB via HUGEINT.
+MINHASH_P = 4294967311
+
+
+def minhash_perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, derived from
+    md5 so the identical literals can be inlined into the DuckDB oracle."""
+    import hashlib
+
+    params = []
+    for i in range(num_perm):
+        dig = hashlib.md5(f"minhash-{seed}-{i}".encode()).hexdigest()
+        a = 1 + int(dig[:8], 16) % ((1 << 31) - 1)
+        b = int(dig[8:16], 16) % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def _md5_prefix_long(col, n_hex: int):
+    """First ``n_hex`` hex chars of md5 as a bigint — the engine-neutral
+    hash primitive shared with the DuckDB oracles (('0x'||substr(md5(x),
+    1,n))::BIGINT on the DuckDB side)."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -136,29 +183,40 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_docs: int = 2000,
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates, verified with exact
-    estimated Jaccard (fraction of agreeing minhashes ≥ threshold).
+    """MinHash + banded LSH near-dup candidates, verified with estimated
+    Jaccard (fraction of agreeing minhashes ≥ threshold).
 
-    Everything native: per-permutation minhash via ``array_min`` over
-    ``xxhash64(shingle, seed_i)`` (JVM, codegen), bands via struct of the
-    per-band minhash slice, candidate pairs via explode+equi-join on
-    (band_id, band_hash). No cartesian product anywhere; shuffle keys are
-    16-byte band hashes. Deterministic (fixed seeds) but engine-specific
-    hashing ⇒ rows-only driver check."""
+    Everything native and single-pass: each shingle is md5-hashed ONCE to
+    a 32-bit base value, then the ``num_perm`` permutations are cheap
+    (a·x+b) mod p multiply-adds over the cached base array (``array_min``
+    + ``transform`` — whole-stage codegen; no re-hashing of strings per
+    permutation, no UDF). Bands via md5 over the per-band minhash slice;
+    candidate pairs via explode+equi-join on (band_id, band_key). No
+    cartesian product anywhere. The hash family is md5-based specifically
+    so the DuckDB oracle reproduces it bit-for-bit (hash-checked driver
+    row)."""
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < max_docs)
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    mh = d.select(
+    base = d.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: _md5_prefix_long(s, 8)).alias("hx"),
+    )
+    params = minhash_perm_params(num_perm)
+    mh = base.select(
         "doc_id",
         F.array(
             *[
                 F.array_min(
-                    F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
+                    F.transform(
+                        F.col("hx"),
+                        lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
+                    )
                 )
-                for i in range(num_perm)
+                for (a, b) in params
             ]
         ).alias("minhash"),
     )
@@ -171,11 +229,17 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("minhash", b * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ]
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "minhash", b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -216,13 +280,22 @@ def minhash_lsh_pairs(
     )
 
 
+#: SimHash signature width: 60 bits (15 md5 hex chars per token hash) so
+#: the DuckDB oracle reproduces every bit; 4 LSH chunks of 15 bits keep
+#: the hamming≤3 ⇒ shared-chunk guarantee (pigeonhole over 4 chunks).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+
+
 def simhash_dups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_docs: int = 2000
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit token-hash majority signature,
-    4-band LSH on 16-bit chunks (any pair within hamming ≤ 3 shares ≥ one
-    exact chunk), exact hamming verify. Signature is a vectorized numpy
-    pandas-UDF over the token-hash arrays; everything else native."""
+    """SimHash near-dup pairs: 60-bit token-hash majority signature,
+    4-band LSH on 15-bit chunks (any pair within hamming ≤ 3 shares ≥ one
+    exact chunk), exact hamming verify. Token hashes are md5-prefix
+    bigints (hash-checkable in DuckDB); the majority-bit fold is a
+    vectorized numpy pandas-UDF over the token-hash arrays; everything
+    else native and bucketed (chunk equi-join, never a cartesian)."""
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < max_docs)
@@ -230,7 +303,7 @@ def simhash_dups(
             "doc_id",
             F.transform(
                 F.array_distinct(F.split(F.col("text"), " ")),
-                lambda t: F.xxhash64(t),
+                lambda t: _md5_prefix_long(t, 15),
             ).alias("token_hashes"),
         )
         .filter(F.size("token_hashes") > 0)
@@ -241,13 +314,16 @@ def simhash_dups(
         out = np.empty(len(hashes), dtype=np.int64)
         for i, hs in enumerate(hashes):
             arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(0)
+            bits = (
+                (arr[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1
+            ).sum(0)
             sig = np.uint64(0)
             for bpos in np.nonzero(bits * 2 >= len(arr))[0]:
                 sig |= np.uint64(1) << np.uint64(bpos)
             out[i] = np.int64(sig)
         return pd.Series(out)
 
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     sig = d.select("doc_id", simhash("token_hashes").alias("sig"))
     chunks = sig.select(
         "doc_id",
@@ -257,11 +333,11 @@ def simhash_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("sig"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("ch"),
@@ -279,7 +355,8 @@ def simhash_dups(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
@@ -326,6 +403,59 @@ def embedding_topk(
     )
 
 
+def ann_hyperplanes(planes: int, dim: int, seed: int = 42) -> "np.ndarray":
+    """Seeded random hyperplanes, shared by the Spark plan, the driver-side
+    query-signature computation, and the DuckDB oracle literals."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(planes, dim)
+
+
+def _plane_sig(vec_col, hyper) -> "F.Column":
+    """Native hyperplane signature: bit p = sign of ⟨vec, H_p⟩, folded
+    left-to-right (``F.aggregate`` ≙ DuckDB's sequential list_dot_product
+    — identical IEEE-754 op order, so the oracle computes the same bits)."""
+    sig = F.lit(0)
+    for p in range(hyper.shape[0]):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(h)) for h in hyper[p]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def _py_sig(vec, hyper) -> int:
+    """Driver-side signature of the query vector — same sequential fold."""
+    sig = 0
+    for p in range(hyper.shape[0]):
+        acc = 0.0
+        for x, y in zip(vec, hyper[p]):
+            acc = acc + x * float(y)
+        if acc > 0:
+            sig |= 1 << p
+    return sig
+
+
+def hamming_ball(sig: int, planes: int, radius: int) -> list[int]:
+    """All signatures within ``radius`` bit-flips of ``sig`` (the multi-
+    probe set: 1 + C(p,1) + C(p,2) … buckets)."""
+    out = {sig}
+    frontier = {sig}
+    for _ in range(radius):
+        nxt = set()
+        for s in frontier:
+            for b in range(planes):
+                nxt.add(s ^ (1 << b))
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -336,46 +466,41 @@ def ann_lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """LSH-bucketed approximate nearest neighbours: seeded random
-    hyperplane signatures (vectorized numpy pandas-UDF), candidate set =
-    vectors whose signature is within ``max_hamming`` of the query's,
-    exact cosine re-rank of candidates only. The scale path: the probe
-    touches |bucket| vectors instead of all N; signatures are built once
-    and would live bucketed in storage."""
+    hyperplane signatures (native dot-product fold), candidate set via a
+    **bucket equi-join** — the query's hamming-``max_hamming`` neighbor
+    signatures (79 buckets for 12 planes, radius 2) are enumerated
+    driver-side and broadcast, so the probe plan is a BroadcastHashJoin
+    on ``sig``, not a full-table hamming filter. Exact cosine re-rank of
+    candidates only.
+
+    Scale: with the signature table stored partitioned/bucketed by
+    ``sig``, the same equi-join prunes to the probed buckets and the scan
+    touches |candidate buckets| vectors instead of all N; the signature
+    build is one pass, done at ingest."""
     e = _emb(spark, sf_dir).withColumn(
         "vec", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    dim = len(e.select("vec").first()["vec"])
-    rng = np.random.RandomState(seed)
-    hyper = rng.randn(planes, dim)
-    bc = spark.sparkContext.broadcast(hyper)
+    qvec = (
+        e.filter(F.col("vec_id") == query_vec_id).select("vec").collect()[0]["vec"]
+    )
+    dim = len(qvec)
+    hyper = ann_hyperplanes(planes, dim, seed)
+    qsig = _py_sig(qvec, hyper)
 
-    @F.pandas_udf("integer")
-    def signature(vecs: pd.Series) -> pd.Series:
-        H = bc.value
-        M = np.stack(vecs.values)  # (batch, dim)
-        bits = (M @ H.T) > 0  # (batch, planes)
-        sig = np.zeros(len(vecs), dtype=np.int32)
-        for p in range(H.shape[0]):
-            sig |= bits[:, p].astype(np.int32) << p
-        return pd.Series(sig)
-
-    signed = e.select("vec_id", "vec", signature("vec").alias("sig")).persist()
-    qrow = signed.filter(F.col("vec_id") == query_vec_id).collect()[0]
-    qsig, qvec = qrow["sig"], qrow["vec"]
+    signed = e.select("vec_id", "vec", _plane_sig(F.col("vec"), hyper).alias("sig"))
+    probe = spark.createDataFrame(
+        [(s,) for s in hamming_ball(qsig, planes, max_hamming)], "sig int"
+    )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    out = (
+    return (
         signed.filter(F.col("vec_id") != query_vec_id)
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig").bitwiseXOR(F.lit(int(qsig))))
-        )
-        .filter(F.col("hamming") <= max_hamming)
+        .join(F.broadcast(probe), "sig")
         .select(
             "vec_id", F.round(_cosine(F.col("vec"), qlit), 4).alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
-    return out
 
 
 # ---------------------------------------------------------------------------

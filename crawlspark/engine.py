@@ -44,6 +44,25 @@ from .schedule import schedule_round, spread_for_fetch
 from .schemas import SEEDS
 from .storage import CheckpointStore
 
+_DEBUG_TIMING = os.environ.get("CRAWLSPARK_DEBUG_TIMING") == "1"
+
+
+class _Tick:
+    """Per-round stage timer (CRAWLSPARK_DEBUG_TIMING=1): prints the wall
+    time between stage marks so scaling work stays measurement-driven."""
+
+    def __init__(self, label: str):
+        self.label = label
+        self.t = time.time()
+
+    def __call__(self, stage: str) -> None:
+        if _DEBUG_TIMING:
+            now = time.time()
+            print(f"    [{self.label}] {stage}: {now - self.t:.2f}s", flush=True)
+            self.t = now
+        else:
+            self.t = time.time()
+
 
 @dataclass
 class CrawlConfig:
@@ -217,7 +236,9 @@ class Crawler:
         cfg = self.cfg
         state = self.store.read_state() if resume else None
         if state is None:
+            tick0 = _Tick("engine init")
             pushed, limit_reached = self._init_frontier(seeds, sitemap_entries)
+            tick0("seed frontier")
             r = 0
             self.store.write_state(
                 {"next_round": 0, "pushed": pushed,
@@ -237,12 +258,14 @@ class Crawler:
 
         drained = False
         while cfg.max_rounds == 0 or r < cfg.max_rounds:
+            tick = _Tick(f"engine r{r}")
             frontier = self.store.read_batch("frontier", r)
             if frontier is None:
                 drained = True
                 break
             frontier = frontier.drop("round")
             n_frontier = frontier.count()
+            tick("frontier read+count")
             if n_frontier == 0:
                 drained = True
                 break
@@ -272,18 +295,12 @@ class Crawler:
                 parsed = parsed.unionByName(denied_rows)
             parsed = parsed.persist()
 
-            _t0 = time.time()
             stats = parsed.agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("fetched_ok").cast("long")).alias("ok"),
             ).collect()[0]
             n_sched, n_ok = stats["n"], int(stats["ok"] or 0)
-            if os.environ.get("CRAWLSPARK_DEBUG_TIMING") == "1":
-                print(
-                    f"    [engine] r{r} fetch+parse+stats: "
-                    f"{time.time() - _t0:.1f}s sched={n_sched}",
-                    flush=True,
-                )
+            tick(f"fetch+parse+stats sched={n_sched}")
             if n_sched == 0:
                 parsed.unpersist()
                 break
@@ -296,6 +313,7 @@ class Crawler:
                 ),
                 r,
             )
+            tick("documents write")
             # lineage/order
             self.store.append(
                 "order",
@@ -305,6 +323,7 @@ class Crawler:
                 ),
                 r,
             )
+            tick("order write")
 
             n_kept = 0
             fresh = None
@@ -390,6 +409,7 @@ class Crawler:
                         )
                     ).alias("accepted"),
                 ).collect()[0]
+                tick("lineage agg")
                 seen = self.store.read("seen")
                 bloom_arg = None
                 if cfg.use_bloom:
@@ -408,6 +428,7 @@ class Crawler:
                     bloom=bloom_arg,
                 )
                 dedup_res = res
+                tick("dedup")
                 pushed = res.pushed_end
                 limit_reached = res.limit_reached
                 n_kept = res.n_kept
@@ -422,8 +443,10 @@ class Crawler:
                         ),
                         r + 1,
                     )
+                tick("seen append")
                 if cfg.use_bloom:
                     self._update_bloom(fresh if n_kept > 0 else None, r)
+                    tick("bloom update")
 
                 n_raw, n_res, n_acc = (
                     int(lin["raw"]), int(lin["resolved"]), int(lin["accepted"])
@@ -468,6 +491,7 @@ class Crawler:
                     nxt = nxt.unionByName(p)
                 nxt = nxt.withColumn("round", F.lit(r + 1))
                 self.store.append("frontier", nxt, r + 1)
+            tick("frontier write")
             has_next = (n_carry + n_kept) > 0
 
             parsed.unpersist()

@@ -65,6 +65,9 @@ SQL_QUERIES = [
     "politeness_topk", "budget_limit", "seen_antijoin", "span_explode",
     "dedup_exact", "dedup_exact_hash", "ngram_jaccard", "embedding_topk",
     "lang_id", "quality_score", "token_count", "fingerprint", "ws_normalize",
+    # md5-rekeyed sketches + literal-expected crawl goldens (round 2):
+    "minhash_lsh", "simhash_dups", "ann_lsh_topk", "media_features",
+    "crawl_order_basic16", "crawl_span_documents",
 ]
 
 
@@ -73,18 +76,21 @@ def test_sql_query_matches_duckdb(spark, name):
     compare(spark, name)
 
 
-ROWS_ONLY = ["minhash_lsh", "simhash_dups", "ann_lsh_topk", "media_features"]
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
+def test_every_query_has_an_oracle():
+    """The driver's hard correctness gate: every operator claimed in
+    queries() is DuckDB-checkable."""
     import __spark_entry__ as entry
 
-    df = entry.queries()[name](spark, SF)
-    assert df.count() >= 0
-    # determinism: second run identical
-    df2 = entry.queries()[name](spark, SF)
-    assert sorted(map(str, df.collect())) == sorted(map(str, df2.collect()))
+    assert set(entry.oracle_sql()) == set(entry.queries())
+
+
+def test_sketch_queries_deterministic(spark):
+    import __spark_entry__ as entry
+
+    for name in ("minhash_lsh", "ann_lsh_topk"):
+        df = entry.queries()[name](spark, SF)
+        df2 = entry.queries()[name](spark, SF)
+        assert sorted(map(str, df.collect())) == sorted(map(str, df2.collect()))
 
 
 def test_entry_smoke(spark):
