@@ -82,7 +82,9 @@ def entry(spark: SparkSession) -> DataFrame:
     its interleaved span documents, unioned with the sf0.001 documents
     lifted into the same shape."""
     pages, seeds = richsite()
-    result = _run_crawl(spark, pages, seeds, host="rich.example")
+    result = _run_crawl(
+        spark, pages, seeds, host="rich.example", use_bloom=True
+    )
     crawled = result.documents_df()
     return crawled.unionByName(_spanify_sf_documents(spark, SF0001))
 

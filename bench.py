@@ -35,13 +35,15 @@ CACHE_DIR = f"/tmp/crawlspark_bench_input_{N_PAGES}"
 
 
 def ensure_bench_input(spark):
-    """Deterministic powerlaw graph cached as parquet (pages + seeds)."""
+    """Deterministic powerlaw graph cached as parquet (pages + seeds).
+    Seeds are a parquet TABLE (url, seed_order) — at bench scale (25% of
+    pages) the seed list must never round-trip through the driver."""
     from crawlspark.schemas import PAGES
     from crawlspark.synth import powerlaw
 
     pages_path = f"{CACHE_DIR}/pages"
-    seeds_path = f"{CACHE_DIR}/seeds.json"
-    if not (os.path.isdir(pages_path) and os.path.exists(seeds_path)):
+    seeds_path = f"{CACHE_DIR}/seeds"
+    if not (os.path.isdir(pages_path) and os.path.isdir(seeds_path)):
         pages, seeds = powerlaw(
             n_pages=N_PAGES,
             n_hosts=24,
@@ -57,13 +59,12 @@ def ensure_bench_input(spark):
         spark.createDataFrame(pages, PAGES).repartition(PARTS).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/pages")
-        with open(f"{tmp}/seeds.json", "w") as f:
-            json.dump(seeds, f)
+        spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seed_order int"
+        ).coalesce(8).write.mode("overwrite").parquet(f"{tmp}/seeds")
         shutil.rmtree(CACHE_DIR, ignore_errors=True)
         os.replace(tmp, CACHE_DIR)
-    with open(seeds_path) as f:
-        seeds = json.load(f)
-    return spark.read.parquet(pages_path), seeds
+    return spark.read.parquet(pages_path), spark.read.parquet(seeds_path)
 
 
 def run_crawl_bench(spark):
@@ -71,9 +72,11 @@ def run_crawl_bench(spark):
 
     from crawlspark.engine import CrawlConfig, Crawler
 
-    pages_df, seeds = ensure_bench_input(spark)
+    pages_df, seeds_df = ensure_bench_input(spark)
     pages_df = pages_df.persist()
     pages_df.count()  # warm the input out of the timed section
+    seeds_df = seeds_df.persist()
+    seeds_df.count()
     hosts = [r["host"] for r in pages_df.select("host").distinct().collect()]
 
     # tmpfs for checkpoint I/O: on a real cluster, checkpoint and shuffle
@@ -89,9 +92,11 @@ def run_crawl_bench(spark):
         max_rounds=2,
         num_partitions=PARTS,
         broadcast_pages=False,  # the web is not broadcastable at scale
+        use_bloom=True,  # the flagship URL-seen component, on in the bench
+        seen_probe="broadcast",  # stream the seen set, never shuffle it
     )
     t0 = time.time()
-    result = Crawler(spark, pages_df, cfg).run(seeds)
+    result = Crawler(spark, pages_df, cfg).run(seeds_df)
     secs = time.time() - t0
 
     m = result.metrics_df().agg(

@@ -119,23 +119,29 @@ def to_dict(bloom_df: DataFrame) -> Dict[int, np.ndarray]:
     }
 
 
-def split_candidates(
+def flag_candidates(
     spark: SparkSession,
     cands: DataFrame,
     key_col: str,
     bloom_dict: Dict[int, np.ndarray],
     cfg: BloomConfig,
-) -> Tuple[DataFrame, DataFrame]:
-    """Split candidates into (maybe_seen, definitely_new) using the
-    broadcast bitmaps. Probe is a vectorized pandas UDF over natively
-    computed hashes."""
+) -> DataFrame:
+    """Add a ``_maybe`` column: True ⇔ the key MAY be in the seen set
+    (Bloom positive), False ⇔ provably new. Probe is a vectorized pandas
+    UDF over natively computed hashes. Callers that consume both halves
+    should persist the result so the probe evaluates once."""
     bc = spark.sparkContext.broadcast(bloom_dict)
 
     @F.pandas_udf("boolean")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
         blooms = bc.value
         h1v = h1.values
-        buckets = (h1v.astype(np.uint64) % np.uint64(cfg.buckets)).astype(np.int64)
+        # bucket must match the builder's JVM pmod on SIGNED h1 (build_or_
+        # update above): ((h1 % B) + B) % B on int64 — NOT uint64 %, which
+        # diverges whenever buckets is not a power of two and would turn
+        # false negatives into dropped duplicates
+        b_ = np.int64(cfg.buckets)
+        buckets = ((h1v.astype(np.int64) % b_) + b_) % b_
         out = np.zeros(len(h1v), dtype=bool)
         for b in np.unique(buckets):
             words = blooms.get(int(b))
@@ -145,9 +151,23 @@ def split_candidates(
             out[mask] = _test_bits(words, h1v[mask], h2[mask].values, cfg)
         return pd.Series(out)
 
-    hashed = _with_hashes(cands, key_col).withColumn(
-        "_maybe", probe(F.col("_h1"), F.col("_h2"))
+    return (
+        _with_hashes(cands, key_col)
+        .withColumn("_maybe", probe(F.col("_h1"), F.col("_h2")))
+        .drop("_h1", "_h2")
     )
-    maybe = hashed.filter(F.col("_maybe")).drop("_h1", "_h2", "_maybe")
-    fresh = hashed.filter(~F.col("_maybe")).drop("_h1", "_h2", "_maybe")
+
+
+def split_candidates(
+    spark: SparkSession,
+    cands: DataFrame,
+    key_col: str,
+    bloom_dict: Dict[int, np.ndarray],
+    cfg: BloomConfig,
+) -> Tuple[DataFrame, DataFrame]:
+    """Split candidates into (maybe_seen, definitely_new) using the
+    broadcast bitmaps (see flag_candidates)."""
+    flagged = flag_candidates(spark, cands, key_col, bloom_dict, cfg)
+    maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+    fresh = flagged.filter(~F.col("_maybe")).drop("_maybe")
     return maybe, fresh

@@ -61,6 +61,10 @@ def pd_url_key(urls: pd.Series) -> pd.Series:
 
     fast = ~path.str.contains(_NEEDS_CLEAN, regex=True, na=False)
     fast &= ~urls.str.contains(_CTRL, regex=True, na=False)
+    # escaped paths percent-decode into the key (Go url.Parse → u.Path);
+    # any '%' in the path falls back to the exact parser ('%' in the
+    # query is fine — RawQuery is kept verbatim)
+    fast &= ~path.str.contains("%", regex=False, na=False)
     # opaque URLs (scheme + non-slash rest) are not keyable on the fast path
     fast &= ~(parts["scheme"].notna() & parts["host"].isna() & ~path.str.startswith("/") & (path != ""))
 
@@ -114,9 +118,13 @@ def pd_resolve(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
     # absolute? (Go: url.Parse(href).IsAbs() — scheme present, checked on the
     # RAW href: leading whitespace defeats scheme detection)
     abs_mask = ok & hrefs.str.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", na=False)
-    # fast absolute: already in canonical Parse→String form
-    abs_fast = abs_mask & hrefs.str.match(
-        r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False
+    # fast absolute: already in canonical Parse→String form; a '%' in the
+    # path part may re-escape or fail (invalid escape ⇒ skip) — exact path
+    path_part = hrefs.str.replace(r"[?#].*$", "", regex=True)
+    abs_fast = (
+        abs_mask
+        & hrefs.str.match(r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False)
+        & ~path_part.str.contains("%", regex=False, na=False)
     )
     out[abs_fast] = hrefs[abs_fast]
     abs_slow = abs_mask & ~abs_fast
@@ -146,9 +154,17 @@ def pd_resolve(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
 
         # final url.Parse round-trip (url.go:33 "verify, normalize url"):
         # identity for clean constructed strings; python fallback otherwise
+        # (a '%' in the constructed path — from the href OR the parent's
+        # decoded path — must re-parse: Go re-decodes and may error)
         built = cand.notna() & rel
-        clean = built & pd.Series(cand, dtype="string").str.match(
-            r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False
+        cand_s = pd.Series(cand, dtype="string")
+        cand_path = cand_s.str.replace(r"[?#].*$", "", regex=True)
+        clean = (
+            built
+            & cand_s.str.match(
+                r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False
+            )
+            & ~cand_path.str.contains("%", regex=False, na=False)
         )
         out[clean] = cand[clean]
         dirty = built & ~clean
@@ -228,6 +244,7 @@ def canonize_links(df, href_col, udf, native: bool = True):
         & href.rlike(SQL_ABS_SIMPLE)
         & ~href.rlike(r"[\x00-\x1F\x7F]")  # Go url.Parse errors ⇒ skip row
         & ~path.rlike(SQL_PATH_NEEDS_CLEAN)
+        & ~path.contains("%")  # escaped paths percent-decode ⇒ exact path
     )
 
     fast = df.filter(is_native)
@@ -252,6 +269,39 @@ def canonize_links(df, href_col, udf, native: bool = True):
         F.col("c.url_key").alias("url_key"),
     )
     return fast_out.unionByName(slow_out)
+
+
+def canonize_urls(df, url_col, url_key_udf):
+    """Derive ``url_key`` for raw URL strings (the seed path — no parent
+    resolution, just U3). Same native/exact split as canonize_links: the
+    common clean absolute URL is keyed ENTIRELY JVM-side; odd rows
+    (dot-segments, control chars, opaque/relative forms) take the exact
+    pandas UDF. Keeps seeding off the Python path for large seed tables
+    (10^5+ seeds on the bench graph; 10^8+ at web scale)."""
+    from pyspark.sql import functions as F
+
+    url = F.col(url_col)
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    path = F.regexp_extract(nofrag, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+
+    is_native = (
+        url.isNotNull()
+        & url.rlike(SQL_ABS_SIMPLE)
+        & ~url.rlike(r"[\x00-\x1F\x7F]")
+        & ~path.rlike(SQL_PATH_NEEDS_CLEAN)
+        & ~path.contains("%")  # escaped paths percent-decode ⇒ exact path
+    )
+
+    cleaned = F.regexp_replace(path, r"(.)/$", "$1")
+    key = F.when(cleaned == "", F.lit("/")).otherwise(cleaned)
+    key = F.when(query != "", F.concat(key, F.lit("?"), query)).otherwise(key)
+
+    fast = df.filter(is_native).withColumn("url_key", key)
+    slow = df.filter(~F.coalesce(is_native, F.lit(False))).withColumn(
+        "url_key", url_key_udf(url)
+    )
+    return fast.unionByName(slow)
 
 
 # ---------------------------------------------------------------------------

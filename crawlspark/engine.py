@@ -32,6 +32,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,6 +83,40 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_buckets: int = 16
     bloom_bits: int = 1 << 20  # 128 KiB per bucket (sandbox-sized default)
+    # Seen-set membership strategy (frontier._anti_seen): "broadcast"
+    # streams the seen table with zero exchange/sort (exact; requires the
+    # per-round candidate-key set to be broadcastable — politeness budgets
+    # bound it); "merge" is the plain anti-join for unbounded rounds.
+    seen_probe: str = "broadcast"
+    # Robots crawl-delay → per-host politeness budgets (README.md:9-10):
+    # when round_wall_secs > 0, each host's per-round budget becomes
+    # ceil(round_wall_secs / max(crawl_delay, default_delay_secs))
+    # (schedule.robots_budgets); hosts without a crawl-delay rule use the
+    # default delay. host_budget, when set, still acts as the fallback cap.
+    round_wall_secs: float = 0.0
+    default_delay_secs: float = 3.0  # reference DefaultDelay, crawler.go:22
+    # User-hook seams (the reference's pluggable callables, lifted into
+    # the pandas stages — cloudpickled to executors):
+    #   accept_fn(url_str) -> bool  REPLACES the default accept filter F1
+    #     (IsAcceptedFunc, crawler.go:96-97); pre-fetch host guards (F3)
+    #     still apply, exactly as in the reference.
+    #   process_fn(url_str, spans: list[dict]) -> list[dict]  span
+    #     post-hook before the documents write (ProcessFunc,
+    #     crawler.go:99-100).
+    #   remove_fn(ch) -> bool  rune-removal pre-pass ahead of whitespace
+    #     normalization (transform.RemoveFunc, transform/transform.go:46).
+    accept_fn: Optional[object] = None
+    process_fn: Optional[object] = None
+    remove_fn: Optional[object] = None
+
+    def __post_init__(self):
+        # accept/reject regexes are evaluated under THREE dialects
+        # (Python re in oracle/pandas, Java rlike natively, Go RE2 in the
+        # reference) — reject dialect-divergent constructs up front
+        from .purl import validate_pattern
+
+        for pat in list(self.reject) + list(self.accept):
+            validate_pattern(pat)
 
 
 @dataclass
@@ -131,14 +166,34 @@ class Crawler:
         self.udfs = canon.register_udfs()
         self.P = config.num_partitions or spark.sparkContext.defaultParallelism
         if config.multi_host:
-            hosts = config.hosts
-            if hosts is None:
-                hosts = [r["host"] for r in pages.select("host").distinct().collect()]
-            self._hosts_df = spark.createDataFrame(
-                [(h,) for h in hosts], "host string"
-            )
+            if config.hosts is not None:
+                self._hosts_df = spark.createDataFrame(
+                    [(h,) for h in config.hosts], "host string"
+                )
+            else:
+                # default discovery stays a DataFrame end-to-end: no
+                # driver collect of the host universe (10^6+ hosts at web
+                # scale would be a plan/driver killer); the broadcast
+                # exchanges downstream materialize it executor-side
+                self._hosts_df = pages.select("host").distinct().persist()
         else:
             self._hosts_df = None
+        # robots crawl-delay → per-host budgets (broadcast policy state)
+        self._host_budgets = None
+        self._default_budget = 0
+        if config.round_wall_secs > 0:
+            import math as _math
+
+            from .robots import robots_budgets
+
+            self._default_budget = _math.ceil(
+                config.round_wall_secs / config.default_delay_secs
+            )
+            if robots_rules is not None:
+                self._host_budgets = robots_budgets(
+                    robots_rules, config.round_wall_secs,
+                    config.default_delay_secs,
+                )
 
     # -- key derivation -------------------------------------------------
     def _seen_key(self):
@@ -148,21 +203,41 @@ class Crawler:
 
     # -- seeding (Start: sitemap entries first, then seeds) -------------
     def _init_frontier(
-        self, seeds: Sequence[str], sitemap_entries: Optional[DataFrame]
+        self, seeds, sitemap_entries: Optional[DataFrame]
     ) -> tuple[int, bool]:
+        """Build the round-0 frontier. ``seeds`` is either a small Python
+        sequence of URL strings (reference-style Start call) or a
+        DataFrame with (url, seed_order[, priority]) — the scale path: a
+        10^8-row seed table never round-trips through the driver.
+        Sitemap entries (small policy-sized input) are pushed BEFORE
+        seeds (crawler.go:313-331)."""
         rows = []
         order = 0
         if sitemap_entries is not None:
             for r in sitemap_entries.orderBy("entry_order").collect():
                 rows.append((r["loc"], order, float(r["priority"] or 0.0)))
                 order += 1
-        for s in seeds:
-            rows.append((s, order, 0.0))
-            order += 1
-        seeds_df = self.spark.createDataFrame(rows, SEEDS)
+        if isinstance(seeds, DataFrame):
+            sdf = seeds
+            if "priority" not in sdf.columns:
+                sdf = sdf.withColumn("priority", F.lit(0.0))
+            sdf = sdf.select(
+                "url",
+                (F.col("seed_order") + F.lit(order)).cast("int")
+                .alias("seed_order"),
+                F.col("priority").cast("double"),
+            )
+            if rows:
+                sdf = self.spark.createDataFrame(rows, SEEDS).unionByName(sdf)
+            seeds_df = sdf
+        else:
+            for s in seeds:
+                rows.append((s, order, 0.0))
+                order += 1
+            seeds_df = self.spark.createDataFrame(rows, SEEDS)
 
         cands = (
-            seeds_df.withColumn("url_key", self.udfs["url_key"](F.col("url")))
+            canon.canonize_urls(seeds_df, "url", self.udfs["url_key"])
             .filter(F.col("url_key").isNotNull())
             .withColumn("host", canon.host_col("url"))
             .withColumn("seen_key", self._seen_key())
@@ -240,14 +315,17 @@ class Crawler:
             pushed, limit_reached = self._init_frontier(seeds, sitemap_entries)
             tick0("seed frontier")
             r = 0
+            n_frontier = pushed  # round-0 frontier = every successful push
             self.store.write_state(
                 {"next_round": 0, "pushed": pushed,
-                 "limit_reached": limit_reached, "finished": False}
+                 "limit_reached": limit_reached, "finished": False,
+                 "frontier_size": n_frontier}
             )
         else:
             r = state["next_round"]
             pushed = state["pushed"]
             limit_reached = state["limit_reached"]
+            n_frontier = state.get("frontier_size")  # None on old states
             if state.get("finished"):
                 return CrawlResult(self.store, r, pushed, limit_reached)
             # discard any torn round beyond the last committed state
@@ -264,13 +342,17 @@ class Crawler:
                 drained = True
                 break
             frontier = frontier.drop("round")
-            n_frontier = frontier.count()
-            tick("frontier read+count")
+            if n_frontier is None:
+                # resume from a pre-tracking state file: one-time count
+                n_frontier = frontier.count()
+            tick("frontier read")
             if n_frontier == 0:
                 drained = True
                 break
             scheduled, carry = schedule_round(
-                frontier, cfg.host_budget, cfg.priority_order
+                frontier, cfg.host_budget, cfg.priority_order,
+                host_budgets=self._host_budgets,
+                default_budget=self._default_budget,
             )
             scheduled = spread_for_fetch(
                 scheduled.withColumn("round", F.lit(r)), self.P, salt=r
@@ -283,7 +365,9 @@ class Crawler:
                 crawl_host=None if cfg.multi_host else cfg.host,
                 broadcast_pages=cfg.broadcast_pages,
             )
-            parsed = parse_stage(fetched)
+            parsed = parse_stage(
+                fetched, process_fn=cfg.process_fn, remove_fn=cfg.remove_fn
+            )
             if self.robots is not None:
                 denied_rows = denied.select(
                     "url", "host", "url_key", "round", "disc_order", "priority",
@@ -295,17 +379,10 @@ class Crawler:
                 parsed = parsed.unionByName(denied_rows)
             parsed = parsed.persist()
 
-            stats = parsed.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("fetched_ok").cast("long")).alias("ok"),
-            ).collect()[0]
-            n_sched, n_ok = stats["n"], int(stats["ok"] or 0)
-            tick(f"fetch+parse+stats sched={n_sched}")
-            if n_sched == 0:
-                parsed.unpersist()
-                break
-
-            # SNK1: documents (Process runs even after the limit flag)
+            # SNK1: documents (Process runs even after the limit flag) —
+            # this write is also the job that materializes the parsed
+            # cache, so every later consumer (order write, fused agg,
+            # candidate pipeline) is a cache read
             self.store.append(
                 "documents",
                 parsed.filter(F.col("fetched_ok")).select(
@@ -313,8 +390,7 @@ class Crawler:
                 ),
                 r,
             )
-            tick("documents write")
-            # lineage/order
+            tick("fetch+parse+documents write")
             self.store.append(
                 "order",
                 parsed.select(
@@ -350,66 +426,75 @@ class Crawler:
                     links, "href", self.udfs["canonize"]
                 ).persist()
                 round_handles.append(cands_raw)
-                resolved = cands_raw.filter(
+
+                resolved_ok = (
                     F.col("url").isNotNull() & F.col("url_key").isNotNull()
                 )
+                if cfg.accept_fn is not None:
+                    # IsAcceptedFunc seam: the user callable REPLACES F1
+                    # (crawler.go:137-142), evaluated as an Arrow-batched
+                    # pandas UDF over the cached candidates
+                    _fn = cfg.accept_fn
 
-                if cfg.multi_host:
-                    resolved = resolved.join(
-                        F.broadcast(self._hosts_df), "host", "left_semi"
+                    @F.pandas_udf("boolean")
+                    def _accept_udf(urls: pd.Series) -> pd.Series:
+                        return urls.map(
+                            lambda u: bool(_fn(u)) if u is not None else False
+                        ).astype(bool)
+
+                    flagged = cands_raw
+                    accept_expr = resolved_ok & _accept_udf(F.col("url"))
+                elif cfg.multi_host:
+                    # membership flag via one broadcast join — shared by
+                    # the accept filter AND the lineage counts (no per-
+                    # round collect of the host universe, no isin literal
+                    # list in the plan)
+                    flagged = cands_raw.join(
+                        F.broadcast(
+                            self._hosts_df.withColumn("_hin", F.lit(True))
+                        ),
+                        "host",
+                        "left",
                     )
+                    accept_expr = resolved_ok & F.col("_hin").isNotNull()
                 else:
-                    resolved = resolved.filter(
-                        canon.accept_filter_with_host(
-                            "url", "host", cfg.host,
-                            list(cfg.reject), list(cfg.accept),
-                        )
+                    flagged = cands_raw
+                    accept_expr = resolved_ok & canon.accept_filter_with_host(
+                        "url", "host", cfg.host,
+                        list(cfg.reject), list(cfg.accept),
                     )
 
-                cands = resolved.withColumn(
+                cands = flagged.filter(accept_expr).withColumn(
                     "seen_key", self._seen_key()
                 ).select(
                     "url", "host", "url_key", "seen_key",
                     "parent_disc", "link_index", "priority",
                 )
 
-                # Q3 error-taxonomy counts (one agg over the cached raw
-                # candidates; queue.go:9-21 reasons, 'duplicate' covers
-                # both in-round and cross-round — the reference has a
-                # single ErrDuplicateURL)
-                if cfg.multi_host:
-                    hosts_set = sorted(
-                        r["host"] for r in self._hosts_df.collect()
+                # ONE fused driver-synchronized job per round for every
+                # scalar the control flow needs: scheduled/fetched counts
+                # (SNK2 metrics) × Q3 error-taxonomy counts (queue.go:9-21
+                # reasons; 'duplicate' covers in-round and cross-round —
+                # the reference has a single ErrDuplicateURL). parsed is
+                # already cached (documents write); this job materializes
+                # the cands_raw cache.
+                row = (
+                    parsed.agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.col("fetched_ok").cast("long")).alias("ok"),
                     )
-                    accept_expr = (
-                        F.col("host").isin(*hosts_set)
-                        if hosts_set
-                        else F.lit(False)
-                    )
-                else:
-                    accept_expr = canon.accept_filter_with_host(
-                        "url", "host", cfg.host,
-                        list(cfg.reject), list(cfg.accept),
-                    )
-                lin = cands_raw.agg(
-                    F.count("*").alias("raw"),
-                    F.count(
-                        F.when(
-                            F.col("url").isNotNull()
-                            & F.col("url_key").isNotNull(),
-                            1,
+                    .crossJoin(
+                        flagged.agg(
+                            F.count("*").alias("raw"),
+                            F.count(F.when(resolved_ok, 1)).alias("resolved"),
+                            F.count(F.when(accept_expr, 1)).alias("accepted"),
                         )
-                    ).alias("resolved"),
-                    F.count(
-                        F.when(
-                            F.col("url").isNotNull()
-                            & F.col("url_key").isNotNull()
-                            & accept_expr,
-                            1,
-                        )
-                    ).alias("accepted"),
-                ).collect()[0]
-                tick("lineage agg")
+                    )
+                    .collect()[0]
+                )
+                n_sched, n_ok = row["n"], int(row["ok"] or 0)
+                lin = row
+                tick(f"fused stats+lineage agg sched={n_sched}")
                 seen = self.store.read("seen")
                 bloom_arg = None
                 if cfg.use_bloom:
@@ -426,6 +511,8 @@ class Crawler:
                     pushed=pushed, limit=cfg.limit,
                     limit_reached=limit_reached, num_partitions=self.P,
                     bloom=bloom_arg,
+                    n_attempts=int(lin["accepted"]) if cfg.limit > 0 else None,
+                    seen_probe=cfg.seen_probe,
                 )
                 dedup_res = res
                 tick("dedup")
@@ -465,6 +552,15 @@ class Crawler:
                     ),
                     r,
                 )
+            else:
+                # post-limit drain round: no candidate pipeline, only the
+                # scheduled/fetched counts for metrics
+                stats = parsed.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("fetched_ok").cast("long")).alias("ok"),
+                ).collect()[0]
+                n_sched, n_ok = stats["n"], int(stats["ok"] or 0)
+                tick(f"drain stats agg sched={n_sched}")
 
             # metrics (SNK2)
             self.store.append(
@@ -493,6 +589,7 @@ class Crawler:
                 self.store.append("frontier", nxt, r + 1)
             tick("frontier write")
             has_next = (n_carry + n_kept) > 0
+            n_frontier = n_carry + n_kept  # next round's size, tracked
 
             parsed.unpersist()
             if dedup_res is not None:
@@ -502,7 +599,8 @@ class Crawler:
             r += 1
             self.store.write_state(
                 {"next_round": r, "pushed": pushed,
-                 "limit_reached": limit_reached, "finished": not has_next}
+                 "limit_reached": limit_reached, "finished": not has_next,
+                 "frontier_size": n_frontier}
             )
             if not has_next:
                 drained = True

@@ -90,6 +90,23 @@ def with_dense_order(
     return out, acc
 
 
+def _anti_seen(cands: DataFrame, seen: DataFrame, probe: str) -> DataFrame:
+    """Rows of ``cands`` whose seen_key is NOT in ``seen`` (exact).
+
+    probe="broadcast": seen is streamed through a broadcast-hash
+    left_semi against the candidate keys (duplicate-key extraction), then
+    the (small) duplicate-key set broadcasts into a left_anti — the seen
+    side never shuffles or sorts. probe="merge": plain left_anti.
+    ``cands`` must be persisted by the caller in broadcast mode (it is
+    referenced twice)."""
+    if probe == "broadcast":
+        dup_keys = seen.select("seen_key").join(
+            F.broadcast(cands.select("seen_key")), "seen_key", "left_semi"
+        )
+        return cands.join(F.broadcast(dup_keys), "seen_key", "left_anti")
+    return cands.join(seen.select("seen_key"), "seen_key", "left_anti")
+
+
 @dataclass
 class DedupResult:
     fresh: DataFrame  # new frontier rows (url, host, url_key, seen_key, disc_order, priority)
@@ -117,6 +134,8 @@ def dedup_candidates(
     limit_reached: bool,
     num_partitions: Optional[int] = None,
     bloom: Optional[tuple] = None,
+    n_attempts: Optional[int] = None,
+    seen_probe: str = "merge",
 ) -> DedupResult:
     """Apply push semantics to this round's accepted candidates.
 
@@ -124,21 +143,36 @@ def dedup_candidates(
     link_index, priority. ``seen``: DataFrame with seen_key (or None).
     ``pushed``: successful pushes so far (== next disc_order).
     ``bloom``: optional (spark, bucket→bitmap dict, BloomConfig) — splits
-    candidates so only possibly-seen rows pay the anti-join shuffle;
-    bloom-negative rows are provably new (exactness preserved).
+    candidates so only possibly-seen rows pay the seen-set membership
+    test; bloom-negative rows are provably new (exactness preserved).
+    ``n_attempts``: push-attempt count when the caller already knows it
+    (fused into the engine's round agg) — avoids a dedicated count job.
+    ``seen_probe``: how the cross-round membership test executes:
+      - "merge": plain ``left_anti`` (sort-merge / AQE choice) — both
+        sides shuffle; the safe default at unbounded per-round volumes.
+      - "broadcast": two-sided broadcast probe — ``seen`` is only ever
+        STREAMED (a broadcast-hash left_semi against the round's candidate
+        keys extracts the duplicate keys, then a broadcast left_anti
+        removes them) — zero exchange and zero sort of the seen side.
+        Exact (set algebra identical to "merge"); requires the round's
+        candidate-key set to fit in a broadcast (bounded per-round
+        frontier growth — the engine's politeness budgets bound it).
+        At 10^10-key scale this pairs with the Bloom prefilter so only
+        maybe-seen keys enter the probe.
     """
     handles = []
-    if limit > 0:
+    if limit > 0 and n_attempts is None:
         # attempt counting is only consulted by the limit state machine;
         # skip the extra job entirely in the unlimited case
         cands = cands.persist()
         handles.append(cands)
         n_attempts = cands.count()
-        if n_attempts == 0:
-            cands.unpersist()
-            return DedupResult(None, pushed, 0, 0, 0, 0, limit_reached)
-    else:
-        n_attempts = -1  # unknown, not needed
+    if n_attempts is None:
+        n_attempts = -1  # unknown, not needed (limit == 0)
+    if limit > 0 and n_attempts == 0:
+        for h in handles:
+            h.unpersist()
+        return DedupResult(None, pushed, 0, 0, 0, 0, limit_reached)
 
     order_key = [F.col("parent_disc"), F.col("link_index")]
 
@@ -153,30 +187,33 @@ def dedup_candidates(
     # cross-round dedup — exactness source of truth
     if seen is not None:
         if bloom is not None:
-            from .bloom import split_candidates
+            from .bloom import flag_candidates
 
             spark, bdict, bcfg = bloom
-            maybe, definite = split_candidates(
+            flagged = flag_candidates(
                 spark, first, "seen_key", bdict, bcfg
-            )
-            new = maybe.join(
-                seen.select("seen_key"), "seen_key", "left_anti"
-            ).unionByName(definite)
+            ).persist()
+            handles.append(flagged)
+            maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
+            definite = flagged.filter(~F.col("_maybe")).drop("_maybe")
+            new = _anti_seen(maybe, seen, seen_probe).unionByName(definite)
         else:
-            new = first.join(seen.select("seen_key"), "seen_key", "left_anti")
+            if seen_probe == "broadcast":
+                first = first.persist()
+                handles.append(first)
+            new = _anti_seen(first, seen, seen_probe)
     else:
         new = first
     # Materialize the deduped set ONCE before dense ordering: the range
     # partitioner samples its input to pick bounds, so an uncached input
     # would re-run the whole explode→resolve→window→anti-join chain three
     # times (sample, exchange, counts). With the cache, sampling and the
-    # exchange read a small cached set.
+    # exchange read a small cached set. n_new falls out of the dense-order
+    # per-partition counts (no dedicated count job).
     t0 = time.time()
     new = new.persist()
     handles.append(new)
-    n_new = new.count()
-    t0 = _t("materialize(new)", t0)
-    new, _ = with_dense_order(
+    new, n_new = with_dense_order(
         new, order_key, "_idx", start=0, num_partitions=num_partitions,
         handles=handles,
     )

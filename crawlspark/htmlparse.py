@@ -105,14 +105,23 @@ def extract_links(html: Optional[str]) -> List[str]:
     return extract(html).hrefs
 
 
-def extract_spans(page_url: URL, html: Optional[str]) -> List[Span]:
+def extract_spans(
+    page_url: URL, html: Optional[str], remove_fn=None
+) -> List[Span]:
     """P4: interleaved text+media span sequence for one fetched page."""
-    return spans_from_extractor(page_url, extract(html))
+    return spans_from_extractor(page_url, extract(html), remove_fn=remove_fn)
 
 
-def spans_from_extractor(page_url: URL, ex: _Extractor) -> List[Span]:
+def spans_from_extractor(
+    page_url: URL, ex: _Extractor, remove_fn=None
+) -> List[Span]:
     """Span assembly from an existing extraction (lets the fused Spark
-    stage parse each page exactly once for both links and spans)."""
+    stage parse each page exactly once for both links and spans).
+
+    ``remove_fn(ch) -> bool``: optional rune-removal pre-pass applied to
+    text payloads BEFORE whitespace normalization — the reference's
+    ``transform.RemoveFunc`` seam (transform/transform.go:46, chained
+    ahead of the normalize transducer at transform.go:59-68)."""
     events: List[Tuple[int, str, str]] = []  # (pos, kind, payload)
     for pos, data in ex.texts:
         events.append((pos, "text", data))
@@ -123,6 +132,8 @@ def spans_from_extractor(page_url: URL, ex: _Extractor) -> List[Span]:
     spans: List[Span] = []
     for _pos, kind, payload in events:
         if kind == "text":
+            if remove_fn is not None:
+                payload = "".join(c for c in payload if not remove_fn(c))
             norm = normalize_text(payload)
             if norm.strip() == "":
                 continue

@@ -83,6 +83,11 @@ def crawl(
     host_budget: int = 0,
     priority_order: bool = False,
     max_rounds: int = 0,
+    host_budgets: Optional[Dict[str, int]] = None,
+    default_budget: int = 0,
+    accept_fn=None,
+    process_fn=None,
+    remove_fn=None,
 ) -> OracleResult:
     """Run the reference-semantics crawl over a synthetic pages index.
 
@@ -91,9 +96,30 @@ def crawl(
     ``limit``: MaxEnqueue (0 = unlimited); exactly limit+1 pushes succeed.
     ``host_budget``: per-host per-round scheduling cap (0 = unlimited —
     reference-exact FIFO/BFS).
+    ``host_budgets``/``default_budget``: per-host budget overrides (the
+    robots crawl-delay realization): a host uses its ``host_budgets``
+    entry, else ``host_budget`` if > 0, else ``default_budget``; all
+    zero/absent ⇒ unbounded.
+    User hooks (the reference's pluggable seams, applied identically by
+    the Spark engine):
+    ``accept_fn(url_str) -> bool`` REPLACES the default accept filter F1
+    (IsAcceptedFunc, crawler.go:96-97); pre-fetch host guards still apply.
+    ``process_fn(url_str, spans: list[dict]) -> list[dict]`` post-hook on
+    each stored span document (ProcessFunc, crawler.go:99-100).
+    ``remove_fn(ch) -> bool`` rune-removal pre-pass before whitespace
+    normalization of span text (transform.RemoveFunc, transform.go:46).
     """
     res = OracleResult()
     allowed = hosts if multi_host else {host}
+
+    def _budget_for(h: str) -> Optional[int]:
+        if host_budgets and h in host_budgets:
+            return host_budgets[h]
+        if host_budget > 0:
+            return host_budget
+        if default_budget > 0:
+            return default_budget
+        return None  # unbounded
 
     frontier: List[CrawlRecord] = []  # unscheduled, frontier order
 
@@ -143,12 +169,13 @@ def crawl(
         # schedule this round: politeness budget per host (Q5)
         if priority_order:
             frontier.sort(key=lambda r: (-r.priority, r.disc_order))
-        if host_budget > 0:
+        if host_budget > 0 or host_budgets or default_budget > 0:
             taken: Dict[str, int] = {}
             scheduled, carry = [], []
             for rec in frontier:
                 h = parse_url(rec.url).host
-                if taken.get(h, 0) < host_budget:
+                bud = _budget_for(h)
+                if bud is None or taken.get(h, 0) < bud:
                     taken[h] = taken.get(h, 0) + 1
                     scheduled.append(rec)
                 else:
@@ -176,14 +203,21 @@ def crawl(
             if ok:
                 n_ok += 1
                 # P4: Process hook runs even after limit (crawler.go:213)
-                spans = extract_spans(u, html)
-                res.documents.append((rec.url, [s._asdict() for s in spans]))
+                spans = extract_spans(u, html, remove_fn=remove_fn)
+                span_dicts = [s._asdict() for s in spans]
+                if process_fn is not None:
+                    span_dicts = process_fn(rec.url, span_dicts)
+                res.documents.append((rec.url, span_dicts))
                 if not res.limit_reached:
                     for href in extract_links(html):
                         cand = normalize(u, href)
                         if cand is None:
                             continue
-                        if multi_host:
+                        if accept_fn is not None:
+                            # IsAcceptedFunc REPLACES the default filter
+                            if not accept_fn(cand.to_string()):
+                                continue
+                        elif multi_host:
                             if cand.host not in allowed:
                                 continue
                         elif not accept_url(cand, host, list(reject), list(accept)):

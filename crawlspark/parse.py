@@ -23,28 +23,36 @@ from .schemas import PARSED
 _PASSTHROUGH = ["url", "host", "url_key", "round", "disc_order", "priority"]
 
 
-def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    import gc as _gc
-    import os as _os
-    import time as _time
+def _make_parse_batch(process_fn=None, remove_fn=None):
+    """Build the mapInPandas body, closing over the optional user hooks
+    (ProcessFunc / RemoveFunc seams — cloudpickled to executors)."""
 
-    _stats = _os.environ.get("CRAWLSPARK_UDF_STATS") == "1"
-    # The parse loop allocates heavily (DOM events, span dicts); in
-    # long-lived pyspark workers the cyclic GC fires constantly over the
-    # worker's whole heap (Arrow buffers, pandas state) and was measured
-    # inflating in-batch time several-fold at high worker counts. The
-    # structures built here are acyclic; disable the cycle collector for
-    # the duration of the batch.
-    _gc_was_enabled = _gc.isenabled()
-    _gc.disable()
-    try:
-        yield from _parse_batches_inner(batches, _stats, _os, _time)
-    finally:
-        if _gc_was_enabled:
-            _gc.enable()
+    def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc as _gc
+        import os as _os
+        import time as _time
+
+        _stats = _os.environ.get("CRAWLSPARK_UDF_STATS") == "1"
+        # The parse loop allocates heavily (DOM events, span dicts); in
+        # long-lived pyspark workers the cyclic GC fires constantly over the
+        # worker's whole heap (Arrow buffers, pandas state) and was measured
+        # inflating in-batch time several-fold at high worker counts. The
+        # structures built here are acyclic; disable the cycle collector for
+        # the duration of the batch.
+        _gc_was_enabled = _gc.isenabled()
+        _gc.disable()
+        try:
+            yield from _parse_batches_inner(
+                batches, _stats, _os, _time, process_fn, remove_fn
+            )
+        finally:
+            if _gc_was_enabled:
+                _gc.enable()
+
+    return _parse_batch
 
 
-def _parse_batches_inner(batches, _stats, _os, _time):
+def _parse_batches_inner(batches, _stats, _os, _time, process_fn, remove_fn):
     for pdf in batches:
         _t0 = _time.time()
         out = {c: pdf[c] for c in _PASSTHROUGH}
@@ -61,8 +69,11 @@ def _parse_batches_inner(batches, _stats, _os, _time):
                 ex = extract(html)
                 ok = ex.ok
                 if ok:
-                    spans = spans_from_extractor(u, ex)
-                    spans_col.append([s._asdict() for s in spans])
+                    spans = spans_from_extractor(u, ex, remove_fn=remove_fn)
+                    span_dicts = [s._asdict() for s in spans]
+                    if process_fn is not None:
+                        span_dicts = process_fn(url, span_dicts)
+                    spans_col.append(span_dicts)
                     links_col.append(
                         [{"link_index": i, "href": h} for i, h in enumerate(ex.hrefs)]
                     )
@@ -86,8 +97,12 @@ def _parse_batches_inner(batches, _stats, _os, _time):
         yield pd.DataFrame(out)
 
 
-def parse_stage(fetched):
+def parse_stage(fetched, process_fn=None, remove_fn=None):
     """fetched: DataFrame with frontier cols + (status, content_html,
-    guard_ok) → PARSED rows (spans + links nested arrays)."""
+    guard_ok) → PARSED rows (spans + links nested arrays). Optional user
+    hooks: ``process_fn(url, spans)->spans`` span post-hook (ProcessFunc),
+    ``remove_fn(ch)->bool`` rune-removal pre-pass (RemoveFunc)."""
     cols = _PASSTHROUGH + ["status", "content_html", "guard_ok"]
-    return fetched.select(*cols).mapInPandas(_parse_batch, PARSED)
+    return fetched.select(*cols).mapInPandas(
+        _make_parse_batch(process_fn, remove_fn), PARSED
+    )

@@ -30,11 +30,75 @@ _SCHEME_RE = _re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):(.*)$", _re.DOTALL)
 # Go rejects these in host names (net/url: "invalid character ... in host")
 _BAD_HOST_CHARS = set(' <>"{}|\\^`')
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+#: characters Go shouldEscape(c, encodePath) leaves unescaped: ASCII
+#: alphanumerics, RFC 3986 unreserved marks, and the reserved set minus '?'
+_PATH_NO_ESCAPE = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "-_.~" "$&+,/:;=@"
+)
+#: extra characters validEncoded(s, encodePath) tolerates in a RawPath
+#: (Go net/url: sub-delims left alone by browsers, plus '[' ']' '%')
+_RAWPATH_EXTRA = set("!$&'()*+,;=:@[]%")
+
+
+def unescape_path(s: str) -> Optional[str]:
+    """Go net/url unescape for the path component: every %XX decodes to
+    the byte XX; an invalid escape (short or non-hex) is a parse error ⇒
+    None (the reference then SKIPS the link, crawler.go:226-228).
+
+    Byte-level note: Go paths are byte strings; decoded bytes that are
+    not valid UTF-8 become U+FFFD here (str-typed engine columns) — a
+    documented divergence for non-UTF-8 escapes only."""
+    if "%" not in s:
+        return s
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%":
+            if i + 2 >= n or s[i + 1] not in _HEX_DIGITS or s[i + 2] not in _HEX_DIGITS:
+                return None
+            out.append(int(s[i + 1 : i + 3], 16))
+            i += 3
+        else:
+            out.extend(c.encode("utf-8"))
+            i += 1
+    return out.decode("utf-8", "replace")
+
+
+def escape_path(s: str) -> str:
+    """Go escape(s, encodePath): percent-encode every byte shouldEscape
+    marks (UTF-8 bytes for non-ASCII)."""
+    out = []
+    for b in s.encode("utf-8", "replace"):
+        ch = chr(b)
+        if b < 128 and ch in _PATH_NO_ESCAPE:
+            out.append(ch)
+        else:
+            out.append("%%%02X" % b)
+    return "".join(out)
+
+
+def _valid_encoded_path(s: str) -> bool:
+    """Go validEncoded(s, encodePath): may this raw text stand as the
+    escaped form of a path?"""
+    for ch in s:
+        if ch in _RAWPATH_EXTRA:
+            continue
+        if ord(ch) < 128 and ch in _PATH_NO_ESCAPE:
+            continue
+        return False
+    return True
+
 
 class URL(NamedTuple):
     """Minimal URL struct mirroring the fields Go's net/url.URL exposes
     that the reference actually uses (scheme, host, path, rawquery,
-    fragment, opaque)."""
+    fragment, opaque, rawpath). ``path`` is the DECODED path (Go
+    url.Parse percent-decodes into u.Path); ``raw_path`` holds the
+    original text only when it differs from the canonical re-escape
+    (Go setPath semantics)."""
 
     scheme: str
     host: str
@@ -42,15 +106,27 @@ class URL(NamedTuple):
     query: str
     fragment: str
     opaque: str = ""
+    raw_path: str = ""
 
     @property
     def is_abs(self) -> bool:
         # Go: u.IsAbs() ⇔ u.Scheme != "" (crawler.go:28)
         return self.scheme != ""
 
+    def escaped_path(self) -> str:
+        """Go URL.EscapedPath(): the original raw text when it is a valid
+        encoding of ``path``, else the canonical re-escape."""
+        if (
+            self.raw_path
+            and _valid_encoded_path(self.raw_path)
+            and unescape_path(self.raw_path) == self.path
+        ):
+            return self.raw_path
+        return escape_path(self.path)
+
     def to_string(self) -> str:
         """Reconstruct the URL string the way Go's url.URL.String() does for
-        the URL shapes this engine deals with."""
+        the URL shapes this engine deals with (escaped path form)."""
         out = []
         if self.scheme:
             out.append(self.scheme + ":")
@@ -59,7 +135,7 @@ class URL(NamedTuple):
         else:
             if self.host:
                 out.append("//" + self.host)
-            out.append(self.path)
+            out.append(self.escaped_path())
         if self.query:
             out.append("?" + self.query)
         if self.fragment:
@@ -124,7 +200,14 @@ def parse_url(raw: str) -> Optional[URL]:
     if q >= 0:
         rest, query = rest[:q], rest[q + 1 :]
 
-    return URL(scheme, host, rest, query, fragment)
+    # percent-decode the path into ``path`` (Go url.Parse → u.Path);
+    # invalid escapes fail the whole parse (link skipped). RawQuery stays
+    # verbatim, exactly like Go.
+    path = unescape_path(rest)
+    if path is None:
+        return None
+    raw_path = rest if rest != escape_path(path) else ""
+    return URL(scheme, host, path, query, fragment, raw_path=raw_path)
 
 
 def clean_path(path: str) -> str:
@@ -262,6 +345,39 @@ def accept(
         if _re.search(pat if isinstance(pat, str) else pat.pattern, name):
             return True
     return False
+
+
+#: constructs outside the dialect-neutral subset shared by Python ``re``
+#: (the oracle / pandas path), Java ``rlike`` (the engine's native path)
+#: and Go RE2 (the reference): named groups, lookaround, \x{...} escapes.
+_PATTERN_FORBIDDEN = ("(?P<", "(?<", "(?=", "(?!", "\\x{")
+
+
+def validate_pattern(pat: str) -> None:
+    """Reject accept/reject patterns that would behave differently (or
+    compile on only some of) the three regex dialects this engine
+    evaluates them under: Python ``re`` in the oracle and pandas
+    fallback, Java regex in the native ``rlike`` fold, Go RE2 in the
+    reference. Supported subset: literals, char classes, alternation,
+    grouping ``(...)``/(?:...), quantifiers, anchors, \\d \\w \\s
+    escapes. Raises ValueError otherwise (fail at config construction,
+    not mid-crawl on one of the paths)."""
+    try:
+        _re.compile(pat)
+    except _re.error as e:
+        raise ValueError(f"invalid accept/reject pattern {pat!r}: {e}") from e
+    for tok in _PATTERN_FORBIDDEN:
+        if tok in pat:
+            raise ValueError(
+                f"accept/reject pattern {pat!r} uses {tok!r} — outside the "
+                "dialect-neutral subset (Python re / Java rlike / Go RE2 "
+                "disagree); rewrite with plain groups/classes"
+            )
+    if _re.search(r"\\[1-9]", pat):
+        raise ValueError(
+            f"accept/reject pattern {pat!r} uses a backreference — "
+            "unsupported in Go RE2 and outside the engine's portable subset"
+        )
 
 
 def url_key_of(raw: str) -> Optional[str]:

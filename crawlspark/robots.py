@@ -20,6 +20,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def robots_budgets(
+    rules: DataFrame, round_wall_secs: float, default_delay_secs: float = 3.0
+) -> Optional[DataFrame]:
+    """Per-host politeness budgets derived from robots crawl-delay
+    (reference README.md:9-10 — crawl-delay honored in the default
+    config; the delay sleep is crawler.go:176-178, default 3s
+    crawler.go:22). Batch translation: a host whose crawl-delay is d can
+    absorb at most ceil(round_wall / max(d, default)) fetches per round.
+
+    Returns a small (host, budget) DataFrame for schedule_round's
+    broadcast, or None when no rule carries a delay."""
+    if rules is None or "crawl_delay_secs" not in rules.columns:
+        return None
+    per_host = (
+        rules.filter(
+            F.col("crawl_delay_secs").isNotNull()
+            & (F.col("crawl_delay_secs") > 0)
+        )
+        .groupBy("host")
+        .agg(F.max("crawl_delay_secs").alias("_delay"))
+    )
+    return per_host.select(
+        "host",
+        F.ceil(
+            F.lit(float(round_wall_secs))
+            / F.greatest(F.col("_delay").cast("double"),
+                         F.lit(float(default_delay_secs)))
+        ).cast("long").alias("budget"),
+    )
+
+
 def apply_robots(
     scheduled: DataFrame, rules: Optional[DataFrame]
 ) -> Tuple[DataFrame, DataFrame]:

@@ -34,13 +34,27 @@ def schedule_round(
     host_budget: int = 0,
     priority_order: bool = False,
     salt_buckets: int = SALT_BUCKETS,
+    host_budgets: Optional[DataFrame] = None,
+    default_budget: int = 0,
 ) -> Tuple[DataFrame, Optional[DataFrame]]:
     """Split the frontier into (scheduled, carryover) for one round.
 
     Frontier order (≙ queue FIFO / priority queue): (priority desc,
     disc_order) in priority mode, else disc_order alone.
-    """
-    if host_budget <= 0:
+
+    ``host_budgets``: optional small (host, budget) table — per-host
+    politeness budgets derived from robots crawl-delay (reference
+    README.md:9-10; delay applied crawler.go:176-178) — broadcast onto the
+    frontier; hosts without a row fall back to ``host_budget`` (or
+    ``default_budget`` when host_budget == 0).
+
+    Scale shape: carryover is a FLAG SPLIT of the two ranking windows —
+    phase-1 losers (per-(host,salt) rank > budget) can never be scheduled
+    and go straight to carry; phase-2 losers join them. No anti-join, so
+    the frontier is never re-shuffled a second time per round (the
+    round-2 fix for the per-round carryover exchange)."""
+    fallback = host_budget if host_budget > 0 else default_budget
+    if fallback <= 0 and host_budgets is None:
         return frontier, None
 
     if priority_order:
@@ -51,22 +65,41 @@ def schedule_round(
     salted = frontier.withColumn(
         "_salt", F.pmod(F.xxhash64("url_key"), F.lit(salt_buckets))
     )
+    if host_budgets is not None:
+        b = host_budgets.select(
+            F.col("host"), F.col("budget").alias("_hb")
+        )
+        salted = salted.join(F.broadcast(b), "host", "left").withColumn(
+            "_budget",
+            F.coalesce(
+                F.col("_hb"),
+                F.lit(fallback if fallback > 0 else None).cast("long"),
+            ),
+        ).drop("_hb")
+        # a host with neither a budget row nor a fallback is unbounded
+        unbounded = F.col("_budget").isNull()
+    else:
+        salted = salted.withColumn("_budget", F.lit(fallback).cast("long"))
+        unbounded = F.lit(False)
+
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     phase1 = salted.withColumn("_rn1", F.row_number().over(w1))
+    keep1 = unbounded | (F.col("_rn1") <= F.col("_budget"))
 
-    # bucket survivors ≤ salt_buckets × budget per host — phase-2 window is
-    # provably un-skewed
+    # phase-1 survivors: ≤ salt_buckets × budget rows per host — the
+    # phase-2 per-host window is provably un-skewed
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = (
-        phase1.filter(F.col("_rn1") <= host_budget)
+        phase1.filter(keep1)
         .withColumn("_rn2", F.row_number().over(w2))
-        .drop("_rn1", "_salt")
     )
-    scheduled = ranked.filter(F.col("_rn2") <= host_budget).drop("_rn2")
-    # carryover = frontier minus scheduled (cheap anti-join on seen_key;
-    # avoids re-ranking rows that lost in phase 1)
-    carry = frontier.join(
-        scheduled.select("seen_key"), "seen_key", "left_anti"
+    keep2 = unbounded | (F.col("_rn2") <= F.col("_budget"))
+    aux = ["_rn1", "_rn2", "_salt", "_budget"]
+    scheduled = ranked.filter(keep2).drop(*aux)
+    carry = (
+        ranked.filter(~keep2)
+        .drop(*aux)
+        .unionByName(phase1.filter(~keep1).drop("_rn1", "_salt", "_budget"))
     )
     return scheduled, carry
 

@@ -45,6 +45,14 @@ HREFS = [
     "?query-only",
     "/;params",
     "p%20q.html",
+    # percent-encoding edges (Go decodes into u.Path; invalid ⇒ skip)
+    "http://h/a%20b",
+    "http://h/%2e%2e/x",
+    "http://h/bad%zz",
+    "/x%41y",
+    "%7Euser",
+    "http://h/q?x=%20&y=%2",
+    "http://h/a%2Fb",
 ]
 
 URLS = [
