@@ -73,8 +73,11 @@ def run_crawl_bench(spark):
     from crawlspark.engine import CrawlConfig, Crawler
 
     pages_df, seeds_df = ensure_bench_input(spark)
-    pages_df = pages_df.persist()
-    pages_df.count()  # warm the input out of the timed section
+    # warm the OS page cache out of the timed section, but do NOT persist
+    # here: the engine keeps its own (host,url_key)-partitioned copy and a
+    # second heap-resident copy of the whole web only causes eviction
+    # pressure on the caches that matter
+    pages_df.count()
     seeds_df = seeds_df.persist()
     seeds_df.count()
     hosts = [r["host"] for r in pages_df.select("host").distinct().collect()]

@@ -37,8 +37,15 @@ def run_at(cpus: int, pages: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(
+            f"bench.py produced no JSON at cpus={cpus} "
+            f"(rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-30:]) + "\n"
+        )
+        raise RuntimeError(f"bench subprocess failed at cpus={cpus}")
+    return json.loads(lines[-1])
 
 
 def _burn(n):

@@ -247,17 +247,63 @@ def canonize_links(df, href_col, udf, native: bool = True):
         & ~path.contains("%")  # escaped paths percent-decode ⇒ exact path
     )
 
-    fast = df.filter(is_native)
-    slow = df.filter(~F.coalesce(is_native, F.lit(False)))
+    # second native tier: ROOT-RELATIVE hrefs ("/x", U1 case 3 — the most
+    # common relative form on real webs): resolve = parent scheme://host +
+    # trimmed href, entirely JVM-side. Masks are deliberately conservative
+    # so every row the exact parser could treat differently (unicode
+    # whitespace trim, escapes, dot segments, odd parents) falls through.
+    pprefix = F.regexp_extract(
+        F.col("parent_url"), r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1
+    )
+    ppath = F.regexp_extract(
+        F.col("parent_url"), r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    trimmed = F.trim(href)
+    rr_nofrag = F.regexp_replace(trimmed, "#.*$", "")
+    rr_path = F.regexp_extract(rr_nofrag, r"^([^?#]*)", 1)
+    rr_query = F.regexp_extract(rr_nofrag, r"\?([^#]*)", 1)
+    is_rootrel = (
+        href.isNotNull()
+        # no control chars and no non-ASCII whitespace: F.trim (spaces
+        # only) then agrees with Python str.strip / Go TrimSpace
+        & ~href.rlike(
+            "[\\x00-\\x1F\\x7F\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+        )
+        & ~href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")  # not absolute
+        & trimmed.rlike(r"^/[^\s<>\x22{}|\\^`]*$")  # rooted, clean charset
+        & ~trimmed.startswith("//")  # protocol-relative is a distinct case
+        & F.col("parent_url").rlike(SQL_ABS_SIMPLE)  # clean parent
+        & ~ppath.contains("%")  # parent path must re-parse unchanged
+        & ~rr_path.rlike(SQL_PATH_NEEDS_CLEAN)
+        & ~rr_path.contains("%")
+    )
 
-    cleaned = F.regexp_replace(path, r"(.)/$", "$1")
-    key = F.when(cleaned == "", F.lit("/")).otherwise(cleaned)
-    key = F.when(query != "", F.concat(key, F.lit("?"), query)).otherwise(key)
+    native_any = F.coalesce(is_native, F.lit(False)) | F.coalesce(
+        is_rootrel, F.lit(False)
+    )
+    fast = df.filter(is_native)
+    fast_rr = df.filter(
+        F.coalesce(is_rootrel, F.lit(False))
+        & ~F.coalesce(is_native, F.lit(False))
+    )
+    slow = df.filter(~native_any)
+
+    def _mk_key(pcol, qcol):
+        cleaned = F.regexp_replace(pcol, r"(.)/$", "$1")
+        k = F.when(cleaned == "", F.lit("/")).otherwise(cleaned)
+        return F.when(qcol != "", F.concat(k, F.lit("?"), qcol)).otherwise(k)
+
     fast_out = fast.select(
         *passthrough,
         href.alias("url"),
         F.regexp_extract(href, SQL_HOST_RE, 1).alias("host"),
-        key.alias("url_key"),
+        _mk_key(path, query).alias("url_key"),
+    )
+    fast_rr_out = fast_rr.select(
+        *passthrough,
+        F.concat(pprefix, trimmed).alias("url"),
+        F.regexp_extract(F.col("parent_url"), SQL_HOST_RE, 1).alias("host"),
+        _mk_key(rr_path, rr_query).alias("url_key"),
     )
     slow_out = slow.select(
         *passthrough,
@@ -268,7 +314,7 @@ def canonize_links(df, href_col, udf, native: bool = True):
         F.col("c.host").alias("host"),
         F.col("c.url_key").alias("url_key"),
     )
-    return fast_out.unionByName(slow_out)
+    return fast_out.unionByName(fast_rr_out).unionByName(slow_out)
 
 
 def canonize_urls(df, url_col, url_key_udf):

@@ -56,6 +56,9 @@ def with_dense_order(
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     t0 = time.time()
+    if _DEBUG_TIMING:
+        # separate the range-sampling job from the counts job
+        df.sparkSession.sparkContext.setJobDescription("dense-order")
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -63,10 +66,8 @@ def with_dense_order(
     )
     if handles is not None:
         handles.append(ranged)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    counts_df = ranged.groupBy("_pid").agg(F.count("*").alias("cnt"))
+    counts = {r["_pid"]: r["cnt"] for r in counts_df.collect()}
     _t("dense-order counts collect", t0)
     offsets = {}
     acc = start

@@ -1,0 +1,100 @@
+"""Physical-plan shape assertions for the round-2 scale fixes: the seen
+side must never shuffle or sort under the broadcast probe, and the
+scheduler's carryover must not re-shuffle the frontier through a join."""
+
+from pyspark.sql import functions as F
+
+from crawlspark.frontier import _anti_seen
+from crawlspark.schedule import schedule_round
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mk_seen(spark, n=1000):
+    return spark.range(n).select(
+        F.concat(F.lit("/k"), F.col("id")).alias("seen_key")
+    )
+
+
+def _mk_cands(spark, n=50, offset=990):
+    return spark.range(n).select(
+        F.concat(F.lit("/k"), (F.col("id") + offset)).alias("seen_key"),
+        F.col("id").alias("parent_disc"),
+        F.col("id").cast("int").alias("link_index"),
+    )
+
+
+def test_broadcast_probe_never_shuffles_seen(spark):
+    seen = _mk_seen(spark)
+    cands = _mk_cands(spark).persist()
+    try:
+        out = _anti_seen(cands, seen, "broadcast")
+        plan = _plan(out)
+        # the seen side is STREAMED through broadcast hash joins: the plan
+        # must contain no shuffle exchange and no sort at all
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Sort " not in plan and "SortMergeJoin" not in plan
+        # exactness: identical set algebra to the plain anti-join
+        got = sorted(r["seen_key"] for r in out.collect())
+        want = sorted(
+            r["seen_key"]
+            for r in _anti_seen(cands, seen, "merge").collect()
+        )
+        assert got == want and len(got) == 40  # 990..999 are duplicates
+    finally:
+        cands.unpersist()
+
+
+def test_schedule_flag_split_has_no_join(spark):
+    frontier = spark.range(200).select(
+        F.concat(F.lit("h"), (F.col("id") % 5)).alias("host"),
+        F.concat(F.lit("/p"), F.col("id")).alias("url_key"),
+        F.concat(F.lit("/p"), F.col("id")).alias("seen_key"),
+        F.concat(F.lit("http://h/p"), F.col("id")).alias("url"),
+        F.col("id").alias("disc_order"),
+        F.lit(0.0).alias("priority"),
+    )
+    scheduled, carry = schedule_round(frontier, host_budget=7)
+    # carryover is a flag split of the ranking windows — no join re-shuffle
+    for df in (scheduled, carry):
+        plan = _plan(df)
+        assert "Join" not in plan
+    # partition: scheduled ∪ carry == frontier, disjoint, budget respected
+    s = {r["seen_key"] for r in scheduled.collect()}
+    c = {r["seen_key"] for r in carry.collect()}
+    assert not (s & c)
+    assert len(s) + len(c) == 200
+    assert len(s) == 5 * 7
+    per_host = (
+        scheduled.groupBy("host").count().collect()
+    )
+    assert all(r["count"] <= 7 for r in per_host)
+
+
+def test_per_host_budget_column(spark):
+    frontier = spark.range(100).select(
+        F.concat(F.lit("h"), (F.col("id") % 2)).alias("host"),
+        F.concat(F.lit("/p"), F.col("id")).alias("url_key"),
+        F.concat(F.lit("/p"), F.col("id")).alias("seen_key"),
+        F.concat(F.lit("http://h/p"), F.col("id")).alias("url"),
+        F.col("id").alias("disc_order"),
+        F.lit(0.0).alias("priority"),
+    )
+    budgets = spark.createDataFrame([("h0", 3)], "host string, budget long")
+    scheduled, carry = schedule_round(
+        frontier, host_budget=0, host_budgets=budgets, default_budget=10
+    )
+    counts = {
+        r["host"]: r["count"]
+        for r in scheduled.groupBy("host").count().collect()
+    }
+    assert counts == {"h0": 3, "h1": 10}
+    # FIFO: the scheduled rows are the lowest disc_orders per host
+    h0 = sorted(
+        r["disc_order"]
+        for r in scheduled.filter("host = 'h0'").collect()
+    )
+    assert h0 == [0, 2, 4]
