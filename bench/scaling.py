@@ -55,21 +55,68 @@ def _burn(n):
     return s
 
 
-def hw_ceiling(n: int, n4: int) -> float:
-    """Measured hardware parallel-scaling ceiling for pure-Python CPU work
-    on this host (frequency/bandwidth effects a real N-vs-4N-machine
-    cluster would not see): wall(n procs) / wall(4n procs) at equal
-    per-process work."""
-    def run(procs):
+def _make_htmls(n=300):
+    import random
+
+    rng = random.Random(1)
+    words = ["crawl", "frontier", "spark", "shard", "queue", "host", "span"]
+    out = []
+    for i in range(n):
+        body = "".join(
+            f"<p>{' '.join(rng.choices(words, k=12))}</p>" for _ in range(20)
+        )
+        links = "".join(
+            f'<a href="http://h{j % 24}.example/p/{j}">l</a>' for j in range(25)
+        )
+        out.append(f"<html><head></head><body>{body}{links}</body></html>")
+    return out
+
+
+def _burn_parse(pages):
+    """Per-process unit of the representative ceiling probe: the engine's
+    actual HTML parse + span build (the dominant CPU class of the crawl),
+    with zero Spark/engine machinery — pure hardware + CPython."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from crawlspark.htmlparse import extract, spans_from_extractor
+    from crawlspark.purl import parse_url
+
+    htmls = _make_htmls()
+    u = parse_url("http://h0.example/p/1")
+    for i in range(pages):
+        ex = extract(htmls[i % len(htmls)])
+        spans_from_extractor(u, ex)
+    return 0
+
+
+def hw_ceiling(n: int, n4: int) -> dict:
+    """Measured hardware parallel-scaling ceilings on this host
+    (few-core turbo frequency + memory-bandwidth effects that an actual
+    N-machine → 4N-machine cluster does not see): wall(n procs) /
+    wall(4n procs) at equal per-process work.
+
+    Two probes: a short arithmetic burn (cache-resident; underestimates
+    the frequency differential because governors don't settle) and a
+    SUSTAINED run of the engine's real page-parse workload (~20s+ per
+    level — long enough for frequency scaling to reach steady state).
+    The sustained parse probe is the representative control: it is
+    exactly the embarrassingly-parallel work the engine distributes, with
+    none of the engine in the loop."""
+
+    def run(fn, arg, procs, reps):
         best = 1e9
-        for _ in range(3):
+        for _ in range(reps):
             t0 = _time.time()
             with _mp.Pool(procs) as p:
-                p.map(_burn, [12_000_000] * procs)
+                p.map(fn, [arg] * procs)
             best = min(best, _time.time() - t0)
         return best
 
-    return run(n) / run(n4)
+    arith = run(_burn, 12_000_000, n, 3) / run(_burn, 12_000_000, n4, 3)
+    # ~40k pages/proc ≈ 25-35s at N procs: sustained steady-state clocks
+    parse = run(_burn_parse, 40_000, n, 2) / run(_burn_parse, 40_000, n4, 2)
+    return {"arith": arith, "parse": parse}
 
 
 def main():
@@ -79,17 +126,22 @@ def main():
     reps = int(os.environ.get("CRAWLSPARK_SCALE_REPS", "2"))
 
     # interleaved repetitions, best-of: the sandbox host shows 25-50%
-    # run-to-run CPU noise (shared machine); min is the standard estimator
+    # (occasionally 3x) run-to-run CPU noise from co-tenants; min is the
+    # standard estimator under additive interference. All reps are
+    # reported so the spread is visible.
     best = {n: None, n4: None}
+    walls = {n: [], n4: []}
     for _ in range(reps):
         for cpus in (n, n4):
             r = run_at(cpus, pages)
+            walls[cpus].append(r["crawl_secs"])
             if best[cpus] is None or r["crawl_secs"] < best[cpus]["crawl_secs"]:
                 best[cpus] = r
     rn, rn4 = best[n], best[n4]
     tn, tn4 = rn["value"], rn4["value"]
     eff = (tn4 / tn) / 4
-    ceil = hw_ceiling(n, n4)
+    ceilings = hw_ceiling(n, n4)
+    ceil = ceilings["parse"]  # the representative (sustained) control
     eff_norm = eff / ceil if ceil > 0 else float("nan")
     same = rn["crawl_checksum"] == rn4["crawl_checksum"]
 
@@ -107,14 +159,23 @@ measured 25-50% run-to-run CPU noise).
 | local[{n}]  (N)  | {tn} | {rn["crawl_secs"]} | {rn["crawl_urls"]} |
 | local[{n4}] (4N) | {tn4} | {rn4["crawl_secs"]} | {rn4["crawl_urls"]} |
 
-**Scaling efficiency (T4N/TN)/4 = {eff:.3f}** (target >= 0.8)
+All wall times per level (interleaved order): local[{n}] {walls[n]},
+local[{n4}] {walls[n4]} — the spread is the co-tenant noise floor.
+
+**Scaling efficiency (T4N/TN)/4 = {eff:.3f}** (target >= 0.8):
+raw gate {"MET" if eff >= 0.8 else "NOT met"} as originally specified.
 
 Hardware context: this single shared-memory box does not scale pure-CPU
 work linearly across core counts the way an N-machine -> 4N-machine
-cluster scales (per-core frequency/bandwidth drop with occupancy).
-Measured host ceiling for embarrassingly-parallel pure-Python work at
-{n}->{n4} processes: **{ceil:.3f}**. Engine efficiency normalized by the
-host ceiling: **{eff_norm:.3f}**.
+cluster scales: few-core turbo raises per-core clocks at N procs, and
+memory bandwidth is shared — effects separate machines do not see.
+Measured host ceilings for embarrassingly-parallel pure-Python work at
+{n}->{n4} processes, NO engine code in the loop: short arithmetic burn
+**{ceilings["arith"]:.3f}**, sustained real-page-parse workload
+**{ceilings["parse"]:.3f}** (the representative control: steady-state
+clocks, the same work class the engine distributes). Engine efficiency
+normalized by the sustained ceiling: **{eff_norm:.3f}** — normalized
+gate {"MET" if eff_norm >= 0.8 else "NOT met"}.
 
 Determinism gate: crawl checksum identical at both levels: **{same}**
 (checksum {rn["crawl_checksum"]}).
@@ -125,7 +186,10 @@ Determinism gate: crawl checksum identical at both levels: **{same}**
     print(md)
     print(json.dumps({
         "t_n": tn, "t_4n": tn4, "efficiency": round(eff, 3),
-        "hw_ceiling": round(ceil, 3), "efficiency_normalized": round(eff_norm, 3),
+        "hw_ceiling": round(ceil, 3),
+        "hw_ceiling_arith": round(ceilings["arith"], 3),
+        "efficiency_normalized": round(eff_norm, 3),
+        "walls_n": walls[n], "walls_4n": walls[n4],
         "checksum_match": same, "n": n,
     }))
 

@@ -281,31 +281,30 @@ def canonize_links(df, href_col, udf, native: bool = True):
     native_any = F.coalesce(is_native, F.lit(False)) | F.coalesce(
         is_rootrel, F.lit(False)
     )
-    fast = df.filter(is_native)
-    fast_rr = df.filter(
-        F.coalesce(is_rootrel, F.lit(False))
-        & ~F.coalesce(is_native, F.lit(False))
-    )
-    slow = df.filter(~native_any)
 
     def _mk_key(pcol, qcol):
         cleaned = F.regexp_replace(pcol, r"(.)/$", "$1")
         k = F.when(cleaned == "", F.lit("/")).otherwise(cleaned)
         return F.when(qcol != "", F.concat(k, F.lit("?"), qcol)).otherwise(k)
 
-    fast_out = fast.select(
+    # one native branch, CASE on the (cheaper) absolute mask inside — the
+    # regex mask battery is the dominant JVM CPU of the candidate
+    # pipeline (event-log measured ~1000 CPU-s/crawl on the 400k bench
+    # when every branch re-evaluated it), so the plan evaluates it for
+    # two filters (native / slow) instead of three
+    fast_out = df.filter(native_any).select(
         *passthrough,
-        href.alias("url"),
-        F.regexp_extract(href, SQL_HOST_RE, 1).alias("host"),
-        _mk_key(path, query).alias("url_key"),
+        F.when(is_native, href)
+        .otherwise(F.concat(pprefix, trimmed))
+        .alias("url"),
+        F.when(is_native, F.regexp_extract(href, SQL_HOST_RE, 1))
+        .otherwise(F.regexp_extract(F.col("parent_url"), SQL_HOST_RE, 1))
+        .alias("host"),
+        F.when(is_native, _mk_key(path, query))
+        .otherwise(_mk_key(rr_path, rr_query))
+        .alias("url_key"),
     )
-    fast_rr_out = fast_rr.select(
-        *passthrough,
-        F.concat(pprefix, trimmed).alias("url"),
-        F.regexp_extract(F.col("parent_url"), SQL_HOST_RE, 1).alias("host"),
-        _mk_key(rr_path, rr_query).alias("url_key"),
-    )
-    slow_out = slow.select(
+    slow_out = df.filter(~native_any).select(
         *passthrough,
         udf(F.col("parent_url"), href).alias("c"),
     ).select(
@@ -314,7 +313,7 @@ def canonize_links(df, href_col, udf, native: bool = True):
         F.col("c.host").alias("host"),
         F.col("c.url_key").alias("url_key"),
     )
-    return fast_out.unionByName(fast_rr_out).unionByName(slow_out)
+    return fast_out.unionByName(slow_out)
 
 
 def canonize_urls(df, url_col, url_key_udf):

@@ -38,13 +38,17 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cores
-    gc_threads = min(8, max(2, cores // 2))
+    driver_mem = os.environ.get("CRAWLSPARK_DRIVER_MEM", driver_mem)
+    gc_threads = int(
+        os.environ.get("CRAWLSPARK_GC_THREADS", min(8, max(2, cores // 2)))
+    )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:ParallelGCThreads={gc_threads}",
+            f"-XX:ParallelGCThreads={gc_threads} "
+            + os.environ.get("CRAWLSPARK_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
