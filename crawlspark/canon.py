@@ -40,6 +40,13 @@ SQL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
 
 _CTRL = r"[\x00-\x1f\x7f]"
 
+# Any char outside printable ASCII. The exact parser (Go net/url String(),
+# url.go:33 round-trip) percent-escapes raw non-ASCII in paths, so every
+# fast path that would emit the input verbatim must exclude them
+# (ADVICE r2: fast≡exact held only because test corpora were ASCII).
+_NON_ASCII = r"[^\x00-\x7f]"
+SQL_NON_PRINTABLE_ASCII = r"[^\x20-\x7E]"  # control chars OR non-ASCII
+
 # paths the vectorized cleaner handles: no dot-segments, no double slashes
 _NEEDS_CLEAN = r"(?://)|(?:^|/)\.\.?(?:/|$)"
 
@@ -61,6 +68,7 @@ def pd_url_key(urls: pd.Series) -> pd.Series:
 
     fast = ~path.str.contains(_NEEDS_CLEAN, regex=True, na=False)
     fast &= ~urls.str.contains(_CTRL, regex=True, na=False)
+    fast &= ~urls.str.contains(_NON_ASCII, regex=True, na=False)
     # escaped paths percent-decode into the key (Go url.Parse → u.Path);
     # any '%' in the path falls back to the exact parser ('%' in the
     # query is fine — RawQuery is kept verbatim)
@@ -125,6 +133,7 @@ def pd_resolve(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
         abs_mask
         & hrefs.str.match(r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False)
         & ~path_part.str.contains("%", regex=False, na=False)
+        & ~hrefs.str.contains(_NON_ASCII, regex=True, na=False)
     )
     out[abs_fast] = hrefs[abs_fast]
     abs_slow = abs_mask & ~abs_fast
@@ -165,6 +174,9 @@ def pd_resolve(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
                 r"^[a-z][a-z0-9+.\-]*://[^\s<>\"{}|\\^`]*$", na=False
             )
             & ~cand_path.str.contains("%", regex=False, na=False)
+            # the constructed URL can carry raw non-ASCII from the href OR
+            # from the parent's decoded path — the round-trip re-escapes it
+            & ~cand_s.str.contains(_NON_ASCII, regex=True, na=False)
         )
         out[clean] = cand[clean]
         dirty = built & ~clean
@@ -242,7 +254,9 @@ def canonize_links(df, href_col, udf, native: bool = True):
     is_native = (
         href.isNotNull()
         & href.rlike(SQL_ABS_SIMPLE)
-        & ~href.rlike(r"[\x00-\x1F\x7F]")  # Go url.Parse errors ⇒ skip row
+        # control chars (Go url.Parse errors ⇒ skip row) AND raw non-ASCII
+        # (to_string percent-escapes them ⇒ exact path) in one regex
+        & ~href.rlike(SQL_NON_PRINTABLE_ASCII)
         & ~path.rlike(SQL_PATH_NEEDS_CLEAN)
         & ~path.contains("%")  # escaped paths percent-decode ⇒ exact path
     )
@@ -264,11 +278,10 @@ def canonize_links(df, href_col, udf, native: bool = True):
     rr_query = F.regexp_extract(rr_nofrag, r"\?([^#]*)", 1)
     is_rootrel = (
         href.isNotNull()
-        # no control chars and no non-ASCII whitespace: F.trim (spaces
-        # only) then agrees with Python str.strip / Go TrimSpace
-        & ~href.rlike(
-            "[\\x00-\\x1F\\x7F\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
-        )
+        # printable-ASCII only: excludes control chars and unicode
+        # whitespace (so F.trim ≡ Go TrimSpace) AND raw non-ASCII (which
+        # the exact parser's round-trip percent-escapes)
+        & ~href.rlike(SQL_NON_PRINTABLE_ASCII)
         & ~href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")  # not absolute
         & trimmed.rlike(r"^/[^\s<>\x22{}|\\^`]*$")  # rooted, clean charset
         & ~trimmed.startswith("//")  # protocol-relative is a distinct case
@@ -333,7 +346,7 @@ def canonize_urls(df, url_col, url_key_udf):
     is_native = (
         url.isNotNull()
         & url.rlike(SQL_ABS_SIMPLE)
-        & ~url.rlike(r"[\x00-\x1F\x7F]")
+        & ~url.rlike(SQL_NON_PRINTABLE_ASCII)  # ctrl chars + raw non-ASCII
         & ~path.rlike(SQL_PATH_NEEDS_CLEAN)
         & ~path.contains("%")  # escaped paths percent-decode ⇒ exact path
     )

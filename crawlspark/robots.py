@@ -27,10 +27,16 @@ def robots_budgets(
     (reference README.md:9-10 — crawl-delay honored in the default
     config; the delay sleep is crawler.go:176-178, default 3s
     crawler.go:22). Batch translation: a host whose crawl-delay is d can
-    absorb at most ceil(round_wall / max(d, default)) fetches per round.
+    absorb at most ceil(round_wall / d) fetches per round. The configured
+    default delay applies only to hosts WITHOUT a robots crawl-delay
+    (crawler.go:110-113: Worker.Delay is used "if there is not robots.txt
+    crawl delay") — a host advertising a delay shorter than the default
+    gets the larger budget its own rule allows (ADVICE r2).
 
     Returns a small (host, budget) DataFrame for schedule_round's
-    broadcast, or None when no rule carries a delay."""
+    broadcast, or None when no rule carries a delay. Hosts absent from
+    the result fall to the caller's default budget (derived from
+    default_delay_secs)."""
     if rules is None or "crawl_delay_secs" not in rules.columns:
         return None
     per_host = (
@@ -44,9 +50,7 @@ def robots_budgets(
     return per_host.select(
         "host",
         F.ceil(
-            F.lit(float(round_wall_secs))
-            / F.greatest(F.col("_delay").cast("double"),
-                         F.lit(float(default_delay_secs)))
+            F.lit(float(round_wall_secs)) / F.col("_delay").cast("double")
         ).cast("long").alias("budget"),
     )
 

@@ -14,6 +14,10 @@ PARENTS = [
     "http://google.com/sub/",
     "http://example.com:8080/a/b.html",
     "http://h.example/dir/page.html?x=1#frag",
+    # escaped + raw non-ASCII parents: the decoded parent path re-enters
+    # the constructed URL and must be re-escaped by the round-trip
+    "http://google.com/caf%C3%A9/x",
+    "http://google.com/á/b",
 ]
 
 HREFS = [
@@ -53,6 +57,16 @@ HREFS = [
     "%7Euser",
     "http://h/q?x=%20&y=%2",
     "http://h/a%2Fb",
+    # raw non-ASCII: Go url.Parse decodes, String() percent-escapes paths
+    # (ADVICE r2 — fast masks must exclude these, not emit verbatim)
+    "http://h/café",
+    "/café",
+    "café",
+    "//h2/é",
+    "#fragé",
+    "naïve/path?q=café",
+    "http://h/ümlaut?q=ß",
+    "http://hést.example/x",
 ]
 
 URLS = [
@@ -70,6 +84,10 @@ URLS = [
     "http://example.com:8080/x",
     "http://h/%7Euser/page",
     "http://h/p;semi?q=1",
+    "http://h/café",
+    "http://h/caf%C3%A9",
+    "http://h/á/../b",
+    "http://h/p?café=é",
 ]
 
 

@@ -130,3 +130,35 @@ def test_chain_rounds(spark, tmp_path):
     oracle = oracle_crawl(pages_index(pages), seeds, "chain.example")
     assert result.rounds == 6
     assert_matches_oracle(result, oracle)
+
+
+def test_seen_probe_auto_guard(spark, tmp_path):
+    """The auto probe guard (VERDICT r2 / ADVICE r2): per round, the
+    broadcast seen-probe is chosen only while the candidate set fits the
+    byte budget; beyond it the round falls back to the shuffling merge
+    anti-join. Output must be identical under every mode."""
+    pages, seeds = basic16()
+    pages_df = spark.createDataFrame(pages, PAGES)
+    oracle = oracle_crawl(pages_index(pages), seeds, "example.com")
+
+    def run(**kw):
+        ckpt = tmp_path / ("ckpt_" + "_".join(f"{k}" for k in kw))
+        cfg = CrawlConfig(checkpoint_dir=str(ckpt), host="example.com", **kw)
+        c = Crawler(spark, pages_df, cfg)
+        return c, c.run(seeds)
+
+    # default auto: every round is comfortably under 64 MiB -> broadcast
+    c_auto, res_auto = run()
+    assert c_auto.cfg.seen_probe == "auto"
+    assert c_auto.probe_choices and set(c_auto.probe_choices) == {"broadcast"}
+    assert_matches_oracle(res_auto, oracle)
+
+    # auto with a 0-byte budget: every round must fall back to merge
+    c_merge, res_merge = run(broadcast_probe_max_bytes=0)
+    assert c_merge.probe_choices and set(c_merge.probe_choices) == {"merge"}
+    assert_matches_oracle(res_merge, oracle)
+
+    # explicit override still honored
+    c_b, res_b = run(seen_probe="broadcast")
+    assert set(c_b.probe_choices) == {"broadcast"}
+    assert_matches_oracle(res_b, oracle)

@@ -112,6 +112,42 @@ def test_crawl_delay_without_rules_uses_default(spark):
     assert _order_tuples(res) == _oracle_tuples(expected)
 
 
+def test_crawl_delay_shorter_than_default_wins(spark):
+    """A host advertising a crawl-delay SHORTER than the configured
+    default gets the LARGER budget its own rule allows — reference
+    semantics: Worker.Delay applies only 'if there is not robots.txt
+    crawl delay' (crawler.go:110-113), never as a floor (ADVICE r2).
+    fast.example: delay 1s, wall 9s ⇒ budget 9 (old max() bug gave 3);
+    slow.example: no rule ⇒ default ceil(9/3)=3."""
+    pages, seeds = _two_host_site()
+    robots = [
+        ("fast.example", "/", True, 1.0),
+    ]
+    res = _run(
+        spark, pages, seeds,
+        robots=robots,
+        multi_host=True, hosts=["slow.example", "fast.example"],
+        round_wall_secs=9.0, default_delay_secs=3.0,
+    )
+    expected = ora.crawl(
+        pages_index(pages), seeds, "",
+        multi_host=True, hosts={"slow.example", "fast.example"},
+        host_budgets={"fast.example": 9}, default_budget=3,
+    )
+    assert _order_tuples(res) == _oracle_tuples(expected)
+    # the larger budget actually bit: fast.example finishes its 9 pages
+    # in fewer rounds than slow.example needs for its own
+    fast_rounds = {
+        r["round"]
+        for r in res.order_df().filter("host = 'fast.example'").collect()
+    }
+    slow_rounds = {
+        r["round"]
+        for r in res.order_df().filter("host = 'slow.example'").collect()
+    }
+    assert max(fast_rounds) < max(slow_rounds)
+
+
 # ---------------------------------------------------------------------------
 # user hooks
 # ---------------------------------------------------------------------------
