@@ -182,11 +182,26 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK2 end-to-end as a driver query: the per-round metrics sink of
+    the richsite crawl (scheduled / fetched_ok / failed / new_urls —
+    reference per-worker done counters + summary, crawler.go:163-167,
+    307-311, 351-356)."""
+    pages, seeds = richsite()
+    res = _run_crawl(spark, pages, seeds, host="rich.example")
+    return (
+        res.metrics_df()
+        .select("round", "scheduled", "fetched_ok", "failed", "new_urls")
+        .orderBy("round")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl engine (rows-only: lifecycle ops, not single SQL statements)
         "crawl_order_basic16": _q_crawl_order,
         "crawl_span_documents": _q_crawl_documents,
+        "crawl_metrics": _q_crawl_metrics,
         # crawl building blocks, SQL-checkable
         "politeness_topk": _q_politeness_topk,
         "budget_limit": _q_budget_limit,
@@ -262,6 +277,30 @@ def _crawl_documents_sql() -> str:
     return f"""
 SELECT doc_id, kind, text, media_ref, CAST("offset" AS INTEGER) AS "offset"
 FROM (VALUES {rows}) AS t(doc_id, kind, text, media_ref, "offset")
+"""
+
+
+def _crawl_metrics_sql() -> str:
+    """Literal-expected oracle for the richsite per-round metrics: the
+    pure-Python reference simulator's counts inlined as VALUES."""
+    from crawlspark import oracle as _oracle
+    from crawlspark.synth import pages_index
+
+    pages, seeds = richsite()
+    res = _oracle.crawl(pages_index(pages), seeds, "rich.example")
+    rows = ", ".join(
+        f"({c['round']}, {c['scheduled']}, {c['fetched_ok']}, "
+        f"{c['failed']}, {c['new_urls']})"
+        for c in res.counts
+    )
+    return f"""
+SELECT CAST("round" AS INTEGER) AS "round",
+       CAST(scheduled AS BIGINT) AS scheduled,
+       CAST(fetched_ok AS BIGINT) AS fetched_ok,
+       CAST(failed AS BIGINT) AS failed,
+       CAST(new_urls AS BIGINT) AS new_urls
+FROM (VALUES {rows}) AS t("round", scheduled, fetched_ok, failed, new_urls)
+ORDER BY "round"
 """
 
 
@@ -442,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_order_basic16": _crawl_order_sql(),
         "crawl_span_documents": _crawl_documents_sql(),
+        "crawl_metrics": _crawl_metrics_sql(),
         "minhash_lsh": _minhash_sql(),
         "simhash_dups": _simhash_sql(),
         "ann_lsh_topk": _ann_sql(),

@@ -31,6 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PARTS = int(os.environ.get("CRAWLSPARK_BENCH_PARTITIONS", str(0))) or CPUS
 N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "40000"))
 CRAWL_ONLY = os.environ.get("CRAWLSPARK_BENCH_CRAWL_ONLY") == "1"
+QUERY_REPS = int(os.environ.get("CRAWLSPARK_BENCH_QUERY_REPS", "3"))
 CACHE_DIR = f"/tmp/crawlspark_bench_input_{N_PAGES}"
 
 
@@ -127,18 +128,31 @@ def run_crawl_bench(spark):
 
 
 def run_query_bench(spark):
+    """Per-query timings with the same protocol as the crawl bench:
+    INTERLEAVED repetitions (rep 1 of every query, then rep 2, ...) and
+    min-estimation. The sandbox host has measured 25-50% (occasionally
+    3x+) co-tenant CPU noise; a single-shot timing made BENCH_r02 query
+    rows noise-dominated (VERDICT r2 §wrong #2). Interleaving spreads
+    each query's reps across the noise timeline; the min is the standard
+    low-noise estimator. Returns (min_secs, all_reps)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
 
     skip = {"crawl_order_basic16", "crawl_span_documents"}  # covered above
-    out = {}
-    for name, fn in entry.queries().items():
-        if name in skip:
-            continue
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 2)
-    return out
+    names = [n for n in entry.queries() if n not in skip]
+    fns = entry.queries()
+    reps: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(QUERY_REPS):
+        for name in names:
+            t0 = time.time()
+            fns[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            reps[name].append(round(time.time() - t0, 2))
+    return (
+        {n: min(r) for n, r in reps.items()},
+        {n: r for n, r in reps.items()},
+    )
 
 
 def main():
@@ -155,13 +169,16 @@ def main():
     )
     crawl = run_crawl_bench(spark)
     queries = {"crawl_frontier_expansion": crawl["crawl_secs"]}
+    query_reps = {}
     if not CRAWL_ONLY:
-        queries.update(run_query_bench(spark))
+        mins, query_reps = run_query_bench(spark)
+        queries.update(mins)
     out = {
         "metric": "frontier-expansion throughput (URLs scheduled+deduped/sec)",
         "value": crawl["crawl_urls_per_sec"],
         "unit": "urls/sec",
         "queries": queries,
+        "query_reps": query_reps,  # interleaved rep walls (noise floor)
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": CPUS,
         "bench_pages": N_PAGES,

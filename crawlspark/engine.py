@@ -100,6 +100,18 @@ class CrawlConfig:
     # strings plus hash-relation overhead)
     broadcast_probe_max_bytes: int = 64 << 20
     broadcast_probe_key_bytes: int = 128
+    # Seen-table bucketing (the parquet realization of the Iceberg
+    # bucket(key_hash) partition spec, storage.py): every seen append is
+    # directory-partitioned by kbucket = pmod(xxhash64(seen_key), B), and
+    # each round's seen read is PRUNED to the buckets the round's
+    # candidate keys actually hash into (collected for free inside the
+    # fused round agg). Plain parquet cannot declare its hash layout to
+    # Catalyst, so the merge anti-join still exchanges the pruned subset
+    # (zero-exchange is Iceberg storage-partitioned-join territory; the
+    # broadcast probe is already exchange-free on the seen side) — but
+    # the scan now touches only matching buckets instead of every file
+    # every round. 0 disables bucketing (flat layout).
+    seen_buckets: int = 64
     # Robots crawl-delay → per-host politeness budgets (README.md:9-10):
     # when round_wall_secs > 0, a host with a robots crawl-delay d gets a
     # per-round budget of ceil(round_wall_secs / d); hosts WITHOUT a
@@ -216,6 +228,24 @@ class Crawler:
                     config.default_delay_secs,
                 )
 
+    def _append_seen(self, fresh: DataFrame, batch: int) -> None:
+        """Append fresh keys to the seen table, bucketed by
+        kbucket = pmod(xxhash64(key), seen_buckets) — the parquet
+        realization of the Iceberg bucket(key_hash) partition spec."""
+        rows = fresh.select(
+            F.col("seen_key").alias("url_key"),
+            F.xxhash64("seen_key").alias("key_hash"),
+            F.lit(batch).alias("first_round"),
+        )
+        if self.cfg.seen_buckets > 0:
+            rows = rows.withColumn(
+                "kbucket",
+                F.pmod(F.col("key_hash"), F.lit(self.cfg.seen_buckets)),
+            )
+            self.store.append("seen", rows, batch, partition_by=["kbucket"])
+        else:
+            self.store.append("seen", rows, batch)
+
     # -- key derivation -------------------------------------------------
     def _seen_key(self):
         if self.cfg.multi_host:
@@ -281,12 +311,7 @@ class Crawler:
             return 0, False
         frontier = res.fresh.withColumn("round", F.lit(0))
         self.store.append("frontier", frontier, 0)
-        seen0 = res.fresh.select(
-            F.col("seen_key").alias("url_key"),
-            F.xxhash64("seen_key").alias("key_hash"),
-            F.lit(0).alias("first_round"),
-        )
-        self.store.append("seen", seen0, 0)
+        self._append_seen(res.fresh, 0)
         if self.cfg.use_bloom:
             from . import bloom as bloom_mod
 
@@ -509,6 +534,18 @@ class Crawler:
                             F.count("*").alias("raw"),
                             F.count(F.when(resolved_ok, 1)).alias("resolved"),
                             F.count(F.when(accept_expr, 1)).alias("accepted"),
+                            # the candidate keys' seen-buckets (≤ B
+                            # values) — drives the pruned seen scan below;
+                            # rides the same fused job, no extra action
+                            F.collect_set(
+                                F.when(
+                                    accept_expr,
+                                    F.pmod(
+                                        F.xxhash64(self._seen_key()),
+                                        F.lit(max(cfg.seen_buckets, 1)),
+                                    ),
+                                )
+                            ).alias("cbuckets"),
                         )
                     )
                     .collect()[0]
@@ -517,6 +554,20 @@ class Crawler:
                 lin = row
                 tick(f"fused stats+lineage agg sched={n_sched}")
                 seen = self.store.read("seen")
+                if (
+                    cfg.seen_buckets > 0
+                    and "kbucket" in seen.columns
+                ):
+                    cbuckets = sorted(
+                        int(b) for b in (lin["cbuckets"] or [])
+                    )
+                    if len(cbuckets) < cfg.seen_buckets:
+                        # directory-level pruning: only the bucket
+                        # partitions a candidate key can hash into are
+                        # scanned (PartitionFilters on kbucket)
+                        seen = seen.filter(
+                            F.col("kbucket").isin(cbuckets)
+                        )
                 bloom_arg = None
                 if cfg.use_bloom:
                     from . import bloom as bloom_mod
@@ -555,15 +606,7 @@ class Crawler:
                 n_kept = res.n_kept
                 fresh = res.fresh
                 if fresh is not None and n_kept > 0:
-                    self.store.append(
-                        "seen",
-                        fresh.select(
-                            F.col("seen_key").alias("url_key"),
-                            F.xxhash64("seen_key").alias("key_hash"),
-                            F.lit(r + 1).alias("first_round"),
-                        ),
-                        r + 1,
-                    )
+                    self._append_seen(fresh, r + 1)
                 tick("seen append")
                 if cfg.use_bloom:
                     self._update_bloom(fresh if n_kept > 0 else None, r)

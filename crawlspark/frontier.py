@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 _DEBUG_TIMING = os.environ.get("CRAWLSPARK_DEBUG_TIMING") == "1"
 
+# dense-order partition offsets: above this partition count the offsets
+# ship as a broadcast-joined DataFrame instead of a create_map literal
+# (a 10^5-entry literal in every round's plan bloats compile time)
+_OFFSETS_LITERAL_MAX = int(
+    os.environ.get("CRAWLSPARK_OFFSETS_LITERAL_MAX", "256")
+)
+
 
 def _t(label: str, t0: float) -> float:
     if _DEBUG_TIMING:
@@ -74,15 +81,36 @@ def with_dense_order(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    if offsets:
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    if not offsets:
+        # no rows at all — plan must still typecheck (map() is VOID-typed)
+        offset_col = F.lit(start)
+    elif len(offsets) <= _OFFSETS_LITERAL_MAX:
         mapping = F.create_map(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
         )
         offset_col = F.coalesce(mapping[F.col("_pid")], F.lit(start))
     else:
-        # no rows at all — plan must still typecheck (map() is VOID-typed)
-        offset_col = F.lit(start)
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+        # cluster scale (10^4-10^5 shuffle partitions): a create_map
+        # literal with one entry per partition bloats every round's plan
+        # (compile time + driver heap). Ship the offsets as a tiny
+        # broadcast-joined DataFrame instead — same values, O(1) plan.
+        off_df = df.sparkSession.createDataFrame(
+            sorted(offsets.items()), "_pid int, _poffset long"
+        )
+        out = (
+            ranged.join(F.broadcast(off_df), "_pid", "left")
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                out_col,
+                (
+                    F.col("_rn") - 1
+                    + F.coalesce(F.col("_poffset"), F.lit(start))
+                ).cast("long"),
+            )
+            .drop("_pid", "_rn", "_poffset")
+        )
+        return out, acc
     out = (
         ranged.withColumn("_rn", F.row_number().over(w))
         .withColumn(out_col, (F.col("_rn") - 1 + offset_col).cast("long"))

@@ -51,9 +51,18 @@ class CheckpointStore:
     def _table_path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def append(self, table: str, df: DataFrame, batch: int) -> None:
+    def append(
+        self, table: str, df: DataFrame, batch: int,
+        partition_by: Optional[list] = None,
+    ) -> None:
         path = os.path.join(self._table_path(table), f"batch={batch}")
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            # sub-partitioned layout (e.g. seen's kbucket — the parquet
+            # realization of Iceberg's bucket(key_hash) spec): readers
+            # filtering on the partition column get directory pruning
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     def read(self, table: str) -> Optional[DataFrame]:
         path = self._table_path(table)

@@ -172,3 +172,87 @@ def test_rerun_same_config_deterministic(spark, tmp_path):
         ).collect()[0][0]
 
     assert checksum(a) == checksum(b)
+
+
+def test_seen_bucketed_layout_and_pruned_scan(spark, tmp_path):
+    """The seen table is written directory-partitioned by
+    kbucket = pmod(xxhash64(key), seen_buckets) — the parquet realization
+    of the Iceberg bucket(key_hash) spec (storage.py) — and each round's
+    seen read is pruned to the candidate keys' buckets."""
+    import os
+
+    pages, seeds = richsite()
+    res = make_crawler(
+        spark, tmp_path, pages, host="rich.example", seen_buckets=8
+    ).run(seeds)
+    seen_root = tmp_path / "ckpt" / "seen"
+    batch_dirs = [d for d in os.listdir(seen_root) if d.startswith("batch=")]
+    assert batch_dirs
+    for b in batch_dirs:
+        kdirs = [
+            d for d in os.listdir(seen_root / b) if d.startswith("kbucket=")
+        ]
+        assert kdirs, f"{b} has no kbucket partitions"
+        assert all(0 <= int(d.split("=")[1]) < 8 for d in kdirs)
+    # kbucket values consistent with the hash
+    rows = res.seen_df().select("url_key", "key_hash", "kbucket").collect()
+    for r in rows:
+        assert r["kbucket"] == r["key_hash"] % 8
+    # the pruned scan produces a plan with a partition filter on kbucket
+    seen = res.seen_df().filter(F.col("kbucket").isin([1, 3]))
+    plan = seen._jdf.queryExecution().executedPlan().toString()
+    assert "kbucket" in plan
+    # correctness unchanged vs oracle seen set
+    oracle = oracle_crawl(pages_index(pages), seeds, "rich.example")
+    assert {r["url_key"] for r in res.seen_df().collect()} == oracle.seen
+
+
+def test_torn_round_seen_bloom_resume_no_key_dropped(spark, tmp_path):
+    """VERDICT r2 #8 — the one previously-unpinned crash window: a round
+    crashes AFTER appending seen batch r+1 and rolling the bloom snapshot
+    to batch r+1 but BEFORE the round's state commit. Resume must
+    truncate both torn batches back to the committed round and replay to
+    a result identical to an uninterrupted run — no key dropped, no key
+    duplicated, no bloom false-skip."""
+    import shutil
+
+    pages, seeds = richsite()
+    kw = dict(host="rich.example", use_bloom=True, bloom_buckets=4)
+    full = make_crawler(spark, tmp_path / "full", pages, **kw).run(seeds)
+
+    part = make_crawler(
+        spark, tmp_path / "part", pages, max_rounds=1, **kw
+    ).run(seeds)
+    assert part.rounds == 1
+    ckpt = tmp_path / "part" / "ckpt"
+    # forge the torn round-1 writes the crash window leaves behind:
+    # seen and bloom advanced to batch 2, order/documents half-written
+    # for round 1, but _state.json still says next_round=1
+    for t in ("seen", "bloom"):
+        src = ckpt / t / "batch=1"
+        dst = ckpt / t / "batch=2"
+        assert src.is_dir()
+        shutil.copytree(src, dst)
+    shutil.copytree(ckpt / "order" / "batch=0", ckpt / "order" / "batch=1")
+    state_path = ckpt / "_state.json"
+    import json
+
+    state = json.loads(state_path.read_text())
+    assert state["next_round"] == 1 and not state["finished"]
+
+    resumed = make_crawler(spark, tmp_path / "part", pages, **kw).run(
+        seeds, resume=True
+    )
+
+    def order_tuples(res):
+        return sorted(
+            (r["url"], r["round"], r["disc_order"], r["fetched_ok"])
+            for r in res.order_df().collect()
+        )
+
+    assert order_tuples(resumed) == order_tuples(full)
+    assert resumed.pushed == full.pushed
+    seen_full = {r["url_key"] for r in full.seen_df().collect()}
+    seen_res = [r["url_key"] for r in resumed.seen_df().collect()]
+    assert set(seen_res) == seen_full
+    assert len(seen_res) == len(seen_full)  # no duplicated key either

@@ -67,7 +67,7 @@ SQL_QUERIES = [
     "lang_id", "quality_score", "token_count", "fingerprint", "ws_normalize",
     # md5-rekeyed sketches + literal-expected crawl goldens (round 2):
     "minhash_lsh", "simhash_dups", "ann_lsh_topk", "media_features",
-    "crawl_order_basic16", "crawl_span_documents",
+    "crawl_order_basic16", "crawl_span_documents", "crawl_metrics",
 ]
 
 

@@ -98,3 +98,47 @@ def test_per_host_budget_column(spark):
         for r in scheduled.filter("host = 'h0'").collect()
     )
     assert h0 == [0, 2, 4]
+
+
+def test_dense_order_broadcast_offsets_beyond_literal_max(spark):
+    """with_dense_order at cluster-scale partition counts must not embed
+    a per-partition create_map literal in the plan (VERDICT r2 §wrong
+    #3): beyond _OFFSETS_LITERAL_MAX the offsets ship as a broadcast
+    join. Both paths must produce the identical dense index."""
+    import crawlspark.frontier as fr
+
+    df = spark.range(5000).select(
+        (F.col("id") * 7919 % 5000).alias("parent_disc"),
+        F.col("id").cast("int").alias("link_index"),
+    )
+    order = [F.col("parent_disc"), F.col("link_index")]
+
+    out_small, end_small = fr.with_dense_order(
+        df, order, "_idx", start=3, num_partitions=8
+    )
+    got_small = [
+        (r["parent_disc"], r["_idx"])
+        for r in out_small.orderBy("_idx").collect()
+    ]
+
+    # force the broadcast-offsets path: more partitions than the literal cap
+    old = fr._OFFSETS_LITERAL_MAX
+    fr._OFFSETS_LITERAL_MAX = 4
+    try:
+        out_b, end_b = fr.with_dense_order(
+            df, order, "_idx", start=3, num_partitions=8
+        )
+        plan = out_b._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "map_from" not in plan and "keys:" not in plan
+        got_b = [
+            (r["parent_disc"], r["_idx"])
+            for r in out_b.orderBy("_idx").collect()
+        ]
+    finally:
+        fr._OFFSETS_LITERAL_MAX = old
+
+    assert end_b == end_small == 3 + 5000
+    assert got_b == got_small
+    # dense, 0-gap, starts at `start`
+    assert [i for _, i in got_b] == list(range(3, 3 + 5000))
