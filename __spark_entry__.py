@@ -196,6 +196,44 @@ def _q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs over the deterministic synthetic
+    image corpus: real PNG encode → binary column → real stdlib pixel
+    decode → average-hash → 16-bit-chunk LSH → exact hamming ≤ 3
+    (crawlspark.media.image_near_dups)."""
+    from crawlspark.media import image_near_dups
+
+    return image_near_dups(spark, sf_dir).orderBy("img_a", "img_b")
+
+
+def _image_near_dups_sql() -> str:
+    """Literal-expected oracle for the perceptual image near-dup
+    pipeline, computed INDEPENDENTLY of the Spark path: brute-force
+    all-pairs hamming over average-hashes taken straight from the synth
+    pixel arrays (no PNG encode, no decode, no LSH). The Spark side
+    additionally roundtrips every image through a real PNG encode (all
+    five scanline filters) and the stdlib zlib+numpy decoder, so a
+    literal match also certifies that roundtrip and certifies the
+    chunk-LSH join finds exactly the brute-force pair set."""
+    from crawlspark.media import (IMG_SIZE, average_hash,
+                                  synth_image_pixels)
+
+    n = 240
+    sigs = [average_hash(synth_image_pixels(i, IMG_SIZE)) for i in range(n)]
+    rows = ", ".join(
+        f"({a}, {b}, {bin(sigs[a] ^ sigs[b]).count('1')})"
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    )
+    return f"""
+SELECT CAST(img_a AS INTEGER) AS img_a, CAST(img_b AS INTEGER) AS img_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES {rows}) AS t(img_a, img_b, hamming)
+ORDER BY img_a, img_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl engine (rows-only: lifecycle ops, not single SQL statements)
@@ -221,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": analysis.fingerprint,
         "ws_normalize": analysis.ws_normalize,
         "media_features": _q_media_features,
+        "image_near_dups": _q_image_near_dups,
     }
 
 
@@ -486,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_sql(),
         "ann_lsh_topk": _ann_sql(),
         "media_features": _media_sql(),
+        "image_near_dups": _image_near_dups_sql(),
         "politeness_topk": """
 SELECT CAST(user_id AS VARCHAR) AS host, event_id, value
 FROM (

@@ -4,12 +4,16 @@ columns with typed metadata, processed through Arrow-batched
 
 Header-level decode is REAL: ``decode_image`` parses PNG IHDR and JPEG
 SOF0/1/2 markers (pure-stdlib byte parsing — no codec needed) to extract
-(format, width, height). Full pixel decode — needed for a true perceptual
-hash — is the one stub left: this container ships no image codecs, so
-``phash`` is a documented byte-level placeholder (``decode_pixels`` raises
-NotImplementedError where a real deployment would call PIL/ffmpeg).
-Schemas, batch shapes, UDF signatures and the dedup-per-asset pattern are
-real and tested; swapping in a codec changes one function body.
+(format, width, height). Full PNG pixel decode is REAL too (round 3):
+``decode_pixels`` is stdlib zlib + numpy scanline unfiltering (all five
+PNG filter types, gray/RGB/RGBA 8-bit), ``encode_png_pixels`` the
+matching encoder, and ``average_hash`` a true perceptual hash over the
+decoded pixels — ``image_near_dups`` runs the full binary-column →
+decode → phash → chunk-LSH near-dup pipeline on it. The only remaining
+externally-gated decode is JPEG entropy coding (needs a real codec;
+``decode_pixels`` raises NotImplementedError for JPEG, where a
+deployment wires PIL/ffmpeg). Schemas, batch shapes, UDF signatures and
+the dedup-per-asset pattern are real and tested.
 
 Span documents carry media as ``media_ref``; this module is the stage
 that would dereference those refs into bytes (a storage join) and extract
@@ -128,19 +132,317 @@ def decode_image(content: bytes) -> Optional[Tuple[str, int, int]]:
     return None
 
 
+def encode_png_pixels(pixels, filter_type: int = 0) -> bytes:
+    """REAL PNG encode from a numpy array — (h, w) uint8 grayscale or
+    (h, w, 3) RGB: zlib-compressed scanlines with the given filter type
+    applied per row (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth — all five
+    so decode_pixels' unfiltering is testable against every type).
+    Stdlib zlib only; no codec dependency."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("expected (h,w) gray or (h,w,3) RGB uint8")
+    h, w = px.shape[:2]
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros((w, channels), dtype=np.uint8)
+    for y in range(h):
+        row = px[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, channels), np.uint8), row[:-1]])
+            filt = (row.astype(np.int16) - left.astype(np.int16)) % 256
+        elif filter_type == 2:  # Up
+            filt = (row.astype(np.int16) - prev.astype(np.int16)) % 256
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, channels), np.uint8), row[:-1]])
+            filt = (
+                row.astype(np.int16)
+                - (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ) % 256
+        elif filter_type == 4:  # Paeth
+            left = np.vstack([np.zeros((1, channels), np.uint8), row[:-1]])
+            ul = np.vstack([np.zeros((1, channels), np.uint8), prev[:-1]])
+            filt = (
+                row.astype(np.int16)
+                - _paeth(
+                    left.astype(np.int16),
+                    prev.astype(np.int16),
+                    ul.astype(np.int16),
+                )
+            ) % 256
+        else:
+            raise ValueError("filter_type 0-4")
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (RFC 2083 §6.6), vectorized over int16 arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
 def decode_pixels(content: bytes):
-    """Full pixel decode — STUB: no image codec ships in this container.
-    A real deployment wires PIL.Image.open(io.BytesIO(content)) (or
-    ffmpeg for video frame-sampling) here; everything downstream already
-    consumes the (width, height, phash) columns this would feed."""
-    raise NotImplementedError("no image codec in this environment")
+    """REAL full PNG pixel decode — stdlib zlib + numpy scanline
+    unfiltering (all five PNG filter types), no image codec needed:
+    returns a (h, w) or (h, w, channels) uint8 array. Supports 8-bit
+    grayscale (color type 0), RGB (2) and RGBA (6), non-interlaced.
+    JPEG entropy decode genuinely requires a codec and raises
+    NotImplementedError (the one remaining genuinely-external decode;
+    a real deployment wires PIL/ffmpeg here)."""
+    import zlib
+
+    import numpy as np
+
+    if content is None or content[:8] != _PNG_SIG:
+        if content is not None and content[:2] == b"\xff\xd8":
+            raise NotImplementedError("JPEG entropy decode needs a codec")
+        raise ValueError("not a PNG")
+    i, n = 8, len(content)
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while i + 8 <= n:
+        length = struct.unpack(">I", content[i : i + 4])[0]
+        kind = content[i + 4 : i + 8]
+        payload = content[i + 8 : i + 8 + length]
+        if kind == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif kind == b"IDAT":
+            idat.extend(payload)
+        elif kind == b"IEND":
+            break
+        i += 12 + length
+    if w is None:
+        raise ValueError("no IHDR")
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub
+            rec = row.copy()
+            for x in range(channels, stride):
+                rec[x] = (rec[x] + rec[x - channels]) % 256
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - channels] if x >= channels else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, channels)
+    return px[:, :, 0] if channels == 1 else px
+
+
+def average_hash(pixels, hash_size: int = 8) -> int:
+    """REAL perceptual average-hash over decoded pixels: grayscale →
+    block-mean downsample to hash_size × hash_size → threshold at the
+    mean → 64-bit signature. Nearby images (small pixel noise, slight
+    brightness shifts) land within a few bits; unrelated images differ
+    in ~32. Requires dimensions divisible by hash_size after cropping
+    (we crop the remainder — deterministic)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    h, w = px.shape
+    bh, bw = h // hash_size, w // hash_size
+    if bh == 0 or bw == 0:
+        raise ValueError("image smaller than hash grid")
+    px = px[: bh * hash_size, : bw * hash_size]
+    blocks = px.reshape(hash_size, bh, hash_size, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    sig = 0
+    for i, b in enumerate(bits):
+        if b:
+            sig |= 1 << i
+    return sig
+
+
+def phash_of(content: bytes) -> int:
+    """Decode + average-hash in one call (the real perceptual hash)."""
+    return average_hash(decode_pixels(content))
 
 
 def pseudo_phash(content: bytes) -> str:
-    """Byte-level placeholder for a perceptual hash (a true pHash needs
-    decode_pixels): md5 over the leading bytes — deterministic, stable
-    for exact-duplicate assets, documented as NOT perception-aware."""
+    """Byte-level placeholder kept for the media_features oracle (its
+    DuckDB SQL recomputes this md5 formula): md5 over the leading bytes —
+    deterministic, stable for exact-duplicate assets, NOT
+    perception-aware. The perception-aware path is phash_of/average_hash
+    above (real, used by image_near_dups)."""
     return hashlib.md5(content[:64]).hexdigest()[:16]
+
+
+IMG_GROUPS = 12
+IMG_SIZE = 64
+
+
+def synth_image_pixels(image_id: int, size: int = IMG_SIZE,
+                       groups: int = IMG_GROUPS):
+    """Deterministic synthetic image corpus with CONTROLLED near-dup
+    structure: image i belongs to group g = i % groups, whose identity is
+    a high-contrast random 8×8 block pattern; variant v = i // groups
+    inverts (v % 4) deterministic blocks (flipping exactly that many
+    average-hash bits) and adds small per-image pixel noise that cannot
+    flip a block mean. So within a group, hashes differ by 0-3 bits
+    (near-dups); across groups by ~32 (unrelated)."""
+    import numpy as np
+
+    g, v = image_id % groups, image_id // groups
+    base = np.random.RandomState(g).randint(0, 2, (8, 8))
+    blocks = base * 200 + 20  # 20 / 220 — far from any mean threshold
+    nflips = v % 4
+    if nflips:
+        rs = np.random.RandomState(10_000 + image_id)
+        flat = blocks.flatten()
+        idx = rs.choice(64, size=nflips, replace=False)
+        flat[idx] = 240 - flat[idx]  # 20<->220
+        blocks = flat.reshape(8, 8)
+    scale = size // 8
+    px = np.kron(blocks, np.ones((scale, scale), dtype=np.int64))
+    noise = np.random.RandomState(77 + image_id).randint(
+        -10, 11, px.shape
+    )
+    return np.clip(px + noise, 0, 255).astype(np.uint8)
+
+
+def image_near_dups(
+    spark,
+    sf_dir: str = "",
+    n_images: int = 240,
+    max_hamming: int = 3,
+    hash_chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs via REAL perceptual hashing — the full
+    multimodal pipeline: synth pixels → real PNG encode (cycling all five
+    scanline filter types) → opaque binary column → real stdlib
+    zlib+numpy pixel decode → average-hash → 16-bit-chunk LSH equi-join
+    (pigeonhole: any pair within hamming ≤ 3 shares ≥ one exact chunk of
+    4) → exact hamming verify. No cartesian product; the join key is a
+    bounded chunk value, the same 100 TB shape as simhash_dups
+    (analysis.py). Decode/hash run in one Arrow pass per batch."""
+    import numpy as np
+
+    ids = spark.range(n_images).select(
+        F.col("id").cast("int").alias("image_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["image_id"]:
+                i = int(i)
+                content = encode_png_pixels(
+                    synth_image_pixels(i), filter_type=i % 5
+                )
+                sig = average_hash(decode_pixels(content))
+                if sig >= 1 << 63:  # wrap to signed 64-bit for LongType
+                    sig -= 1 << 64
+                rows.append(
+                    {
+                        "image_id": i,
+                        "n_bytes": len(content),
+                        "sig": np.int64(sig),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "n_bytes", "sig"]
+            )
+
+    sigs = ids.mapInPandas(run, "image_id int, n_bytes int, sig long")
+    chunk_bits = 64 // hash_chunks
+    chunks = sigs.select(
+        "image_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for c in range(hash_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("image_id", "sig", "ch.chunk_id", "ch.chunk")
+    a = chunks.select(
+        F.col("image_id").alias("img_a"), F.col("sig").alias("sig_a"),
+        "chunk_id", "chunk",
+    )
+    b = chunks.select(
+        F.col("image_id").alias("img_b"), F.col("sig").alias("sig_b"),
+        "chunk_id", "chunk",
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .dropDuplicates(["img_a", "img_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("img_a", "img_b", "hamming")
+    )
 
 
 def media_features(refs_df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
