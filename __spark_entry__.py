@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ws_normalize": analysis.ws_normalize,
         "media_features": _q_media_features,
         "image_near_dups": _q_image_near_dups,
+        "embedding_near_dups": analysis.embedding_near_dups,
     }
 
 
@@ -466,6 +467,49 @@ LIMIT {k}
 """
 
 
+def _embedding_near_dups_sql(
+    planes: int = 12, max_hamming: int = 2, min_cosine: float = 0.25,
+    seed: int = 42, dim: int = 64,
+) -> str:
+    """DuckDB mirror of analysis.embedding_near_dups: identical
+    hyperplane literals and sequential-fold signature bits (same IEEE op
+    order as F.aggregate), all-pairs hamming ≤ r predicate (≡ the Spark
+    chunk-LSH equi-join by pigeonhole — exact, not approximate), and the
+    cosine computed with the same sequential folds (list_reduce ≡
+    F.aggregate) so the ≥ threshold boundary is bit-identical."""
+    H = analysis.ann_hyperplanes(planes, dim, seed)
+    sig_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_transform(list_zip(vec, ["
+        + ", ".join(repr(float(x)) for x in H[p])
+        + "]), z -> z[1] * z[2]), (a, b) -> a + b) > 0 THEN "
+        + str(1 << p)
+        + " ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vec, {sig_terms} AS sig FROM v
+), cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(bit_count(xor(a.sig::BIGINT, b.sig::BIGINT)) AS INTEGER)
+           AS hamming,
+         list_reduce(list_transform(list_zip(a.vec, b.vec),
+                                    z -> z[1] * z[2]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(a.vec, z -> z * z),
+                               (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(b.vec, z -> z * z),
+                                 (x, y) -> x + y))) AS cos_exact
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, hamming, round(cos_exact, 4) AS cosine
+FROM cand
+WHERE hamming <= {max_hamming} AND cos_exact >= {min_cosine}
+"""
+
+
 def _media_sql() -> str:
     """Oracle for the media pipeline: recomputes the deterministic PNG
     dimensions (16 + md5-hexbyte % 64 — the formula fake_media_bytes
@@ -526,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_sql(),
         "media_features": _media_sql(),
         "image_near_dups": _image_near_dups_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "politeness_topk": """
 SELECT CAST(user_id AS VARCHAR) AS host, event_id, value
 FROM (

@@ -503,6 +503,105 @@ def ann_lsh_topk(
     )
 
 
+def embedding_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: int = 12,
+    max_hamming: int = 2,
+    min_cosine: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs embedding-cosine near-duplicate detection — the
+    dedup-by-embedding family (complements text minhash/simhash): seeded
+    hyperplane signatures (same native sequential-fold bits as
+    ``ann_lsh_topk``, so DuckDB computes identical signatures), signature
+    chunked into ``max_hamming + 1`` pieces — pigeonhole: any pair within
+    signature-hamming ≤ max_hamming shares ≥ one exact chunk — candidate
+    pairs via an equi-join on the bounded ``(chunk_id, chunk)`` key, then
+    exact hamming + exact cosine ≥ ``min_cosine`` verification.
+
+    Semantics (exact, oracle-checkable): returns precisely the pairs with
+    ``hamming(sig_a, sig_b) <= max_hamming AND cosine >= min_cosine`` —
+    the angular-LSH candidate condition is part of the operator contract,
+    as in every production embedding-dedup pipeline (candidates outside
+    every probe bucket are by definition not near-duplicates at the
+    chosen plane budget).
+
+    Scale shape: candidate generation carries only (vec_id, sig) through
+    the explode+join — the 64-float vectors are joined back by id for the
+    cosine verify on the (small) candidate set, so the wide arrays never
+    ride the LSH shuffle. No cartesian product anywhere; same skeleton as
+    ``simhash_dups``/``image_near_dups``."""
+    e = _emb(spark, sf_dir).withColumn(
+        "vec", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    dim = len(e.select("embedding").first()["embedding"])
+    hyper = ann_hyperplanes(planes, dim, seed)
+    signed = e.select(
+        "vec_id", _plane_sig(F.col("vec"), hyper).alias("sig")
+    )
+
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-planes // n_chunks)  # ceil
+    mask = (1 << chunk_bits) - 1
+    chunks = signed.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(
+                            F.col("sig").cast("long"), c * chunk_bits
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("vec_id", "sig", "ch.chunk_id", "ch.chunk")
+    a = chunks.select(
+        F.col("vec_id").alias("vec_a"), F.col("sig").alias("sig_a"),
+        "chunk_id", "chunk",
+    )
+    b = chunks.select(
+        F.col("vec_id").alias("vec_b"), F.col("sig").alias("sig_b"),
+        "chunk_id", "chunk",
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig_a").cast("long").bitwiseXOR(
+                    F.col("sig_b").cast("long")
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("vec_a", "vec_b", "hamming")
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_exact", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_exact") >= F.lit(float(min_cosine)))
+        .select(
+            "vec_a",
+            "vec_b",
+            "hamming",
+            F.round(F.col("cos_exact"), 4).alias("cosine"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -261,6 +261,41 @@ def test_phash_of_survives_png_roundtrip():
         assert media.phash_of(media.encode_png_pixels(px, ft)) == direct
 
 
+def test_embedding_near_dups_matches_brute_force(spark):
+    """The chunk-LSH candidate join + exact verify returns EXACTLY the
+    contract set {hamming(sig) <= r AND cosine >= t}, per an independent
+    numpy all-pairs brute force over the same parquet."""
+    import numpy as np
+
+    out = analysis.embedding_near_dups(spark, SF).collect()
+    got = sorted((r.vec_a, r.vec_b, r.hamming) for r in out)
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    V = [np.array(e, dtype=np.float64) for e in pdf.embedding]
+    ids = pdf.vec_id.tolist()
+    H = analysis.ann_hyperplanes(12, len(V[0]), 42)
+    sigs = [analysis._py_sig(v, H) for v in V]
+    Vm = np.array(V)
+    Vn = Vm / np.linalg.norm(Vm, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    exp = sorted(
+        (ids[a], ids[b], bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in range(len(V))
+        for b in range(a + 1, len(V))
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2 and C[a, b] >= 0.25
+    )
+    assert got == exp and len(exp) > 0
+
+
+def test_embedding_near_dups_plan_no_cartesian(spark):
+    """Plan shape: the candidate stage is an equi-join on the bounded
+    chunk key — no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    plan = analysis.embedding_near_dups(spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_image_near_dups_matches_brute_force(spark):
     """The chunk-LSH join finds EXACTLY the brute-force all-pairs
     hamming ≤ 3 set (pigeonhole guarantee), on a reduced corpus."""
