@@ -187,6 +187,13 @@ class Crawler:
             # with no exchange and no sort on the big side
             self.pages = pages.repartition(P, "host", "url_key").persist()
         self.robots = robots_rules
+        # compile the (broadcast-small) rule set once so the per-round
+        # gate is a narrow literal-map projection — no join, no window
+        # shuffle (falls back to the broadcast-join path when the rule
+        # set exceeds the compile cutoff)
+        from .robots import compile_robots
+
+        self._robots_compiled = compile_robots(robots_rules)
         self.store = CheckpointStore(spark, config.checkpoint_dir)
         self.udfs = canon.register_udfs()
         self.P = config.num_partitions or spark.sparkContext.defaultParallelism
@@ -403,7 +410,9 @@ class Crawler:
             scheduled = spread_for_fetch(
                 scheduled.withColumn("round", F.lit(r)), self.P, salt=r
             )
-            allowed, denied = apply_robots(scheduled, self.robots)
+            allowed, denied = apply_robots(
+                scheduled, self.robots, self._robots_compiled
+            )
             fetched = resolve_fetch(
                 allowed,
                 self.pages,

@@ -455,28 +455,22 @@ def media_features(refs_df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref in pdf[ref_col]:
-                content = fake_media_bytes(ref)
-                decoded = decode_image(content)
-                fmt, w, h = decoded if decoded else ("bin", None, None)
-                rows.append(
-                    {
-                        "media_ref": ref,
-                        "content": content,
-                        "n_bytes": len(content),
-                        "format": fmt,
-                        "width": w,
-                        "height": h,
-                        "phash": pseudo_phash(content),
-                    }
-                )
+            # columnar accumulation: the per-asset byte parsing is
+            # inherently per-row, but the frame assembly is one
+            # dict-of-lists (no per-row dict churn in the hot loop)
+            refs = pdf[ref_col].tolist()
+            contents = [fake_media_bytes(r) for r in refs]
+            decoded = [decode_image(c) for c in contents]
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_ref", "content", "n_bytes", "format",
-                    "width", "height", "phash",
-                ],
+                {
+                    "media_ref": refs,
+                    "content": contents,
+                    "n_bytes": [len(c) for c in contents],
+                    "format": [d[0] if d else "bin" for d in decoded],
+                    "width": [d[1] if d else None for d in decoded],
+                    "height": [d[2] if d else None for d in decoded],
+                    "phash": [pseudo_phash(c) for c in contents],
+                }
             )
 
     return refs_df.select(F.col(ref_col)).mapInPandas(run, MEDIA_META)

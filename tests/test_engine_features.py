@@ -56,6 +56,65 @@ def test_robots_longest_prefix_wins(spark, tmp_path):
     assert order["/sub2/sub2-1.html"]["fetched_ok"]
 
 
+def test_robots_compiled_path_equals_join_path_and_is_narrow(spark):
+    """The literal-map robots gate (compiled once per crawl) decides
+    identically to the broadcast-join + longest-prefix-window fallback —
+    including prefix-length ties, where deny sorts before allow — and its
+    plan has ZERO exchanges (the round-2 plan shuffled on seen_key here
+    every round)."""
+    from crawlspark.robots import apply_robots, compile_robots
+
+    rules = spark.createDataFrame(
+        [
+            ("h.com", "/a/", False, None),
+            ("h.com", "/a/keep", True, None),
+            ("h.com", "/t", True, None),   # tie with next: deny wins
+            ("h.com", "/t", False, None),
+            ("other.com", "/", False, None),
+        ],
+        ROBOTS_RULE,
+    )
+    scheduled = spark.createDataFrame(
+        [
+            # seen_key is host-prefixed in multi-host mode (globally
+            # unique — the engine never reuses a key across hosts)
+            ("http://h.com/a/x.html", "h.com", "h.com/a/x.html"),
+            ("http://h.com/a/keep/y.html", "h.com", "h.com/a/keep/y.html"),
+            ("http://h.com/t/z.html", "h.com", "h.com/t/z.html"),
+            ("http://h.com/free.html", "h.com", "h.com/free.html"),
+            ("http://other.com/p.html", "other.com", "other.com/p.html"),
+            ("http://norules.com/p.html", "norules.com", "norules.com/p.html"),
+        ],
+        "url string, host string, seen_key string",
+    )
+    compiled = compile_robots(rules)
+    assert compiled is not None
+
+    def keys(df):
+        return sorted(r["seen_key"] for r in df.collect())
+
+    a_fast, d_fast = apply_robots(scheduled, rules, compiled)
+    a_join, d_join = apply_robots(scheduled, rules, None)
+    assert keys(a_fast) == keys(a_join)
+    assert keys(d_fast) == keys(d_join)
+    assert keys(d_fast) == [
+        "h.com/a/x.html", "h.com/t/z.html", "other.com/p.html"
+    ]
+
+    plan = a_fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    # cutoff fallback: an over-large rule set refuses to compile
+    import crawlspark.robots as R
+
+    old = R.COMPILE_MAX_RULES
+    try:
+        R.COMPILE_MAX_RULES = 3
+        assert compile_robots(rules) is None
+    finally:
+        R.COMPILE_MAX_RULES = old
+
+
 def test_sitemap_entries_seed_first_with_priority(spark, tmp_path):
     pages, seeds = basic16()
     sm = spark.createDataFrame(
