@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -46,6 +47,25 @@ from .schemas import SEEDS
 from .storage import CheckpointStore
 
 _DEBUG_TIMING = os.environ.get("CRAWLSPARK_DEBUG_TIMING") == "1"
+
+
+def _parallel_jobs(*thunks) -> list:
+    """Run independent Spark actions concurrently from driver threads.
+
+    Each round's tail is a set of INDEPENDENT sink jobs (order append,
+    seen append, bloom roll, lineage/metrics appends, frontier snapshot)
+    that all read already-cached inputs; running them sequentially adds
+    their fixed job-submission + commit latencies to every round's
+    critical path — a driver-serial term that does not shrink with
+    executors (the Amdahl denominator of the N→4N scaling gate). Driver
+    threads submit them as concurrent jobs instead; the scheduler
+    interleaves their (small) task sets across free slots. Results are
+    returned in thunk order; the first exception propagates."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futs = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futs]
 
 
 class _Tick:
@@ -446,7 +466,13 @@ class Crawler:
                 r,
             )
             tick("fetch+parse+documents write")
-            self.store.append(
+            # the order append reads the parsed cache only — submit it
+            # from a driver thread so it overlaps the fused agg below
+            # (independent sinks; per-round serial latency is the Amdahl
+            # term of the scaling gate)
+            order_pool = ThreadPoolExecutor(max_workers=1)
+            order_fut = order_pool.submit(
+                self.store.append,
                 "order",
                 parsed.select(
                     "url", "host", "url_key", "round", "disc_order",
@@ -454,12 +480,12 @@ class Crawler:
                 ),
                 r,
             )
-            tick("order write")
 
             n_kept = 0
             fresh = None
             dedup_res = None
             round_handles = []
+            tail_jobs = []  # independent sink jobs, submitted concurrently
             if not limit_reached:
                 links = parsed.filter(F.col("fetched_ok")).select(
                     F.col("url").alias("parent_url"),
@@ -615,28 +641,33 @@ class Crawler:
                 n_kept = res.n_kept
                 fresh = res.fresh
                 if fresh is not None and n_kept > 0:
-                    self._append_seen(fresh, r + 1)
-                tick("seen append")
+                    _fresh, _r = fresh, r
+                    tail_jobs.append(
+                        lambda f=_fresh, b=_r + 1: self._append_seen(f, b)
+                    )
                 if cfg.use_bloom:
-                    self._update_bloom(fresh if n_kept > 0 else None, r)
-                    tick("bloom update")
+                    tail_jobs.append(
+                        lambda f=(fresh if n_kept > 0 else None), b=r:
+                        self._update_bloom(f, b)
+                    )
 
                 n_raw, n_res, n_acc = (
                     int(lin["raw"]), int(lin["resolved"]), int(lin["accepted"])
                 )
-                self.store.append(
-                    "lineage",
-                    self.spark.createDataFrame(
-                        [
-                            (r, "unparseable", n_raw - n_res),
-                            (r, "rejected", n_res - n_acc),
-                            (r, "duplicate", n_acc - res.n_new),
-                            (r, "budget", res.n_new - n_kept),
-                            (r, "pushed", n_kept),
-                        ],
-                        "round int, reason string, n long",
-                    ),
-                    r,
+                lineage_df = self.spark.createDataFrame(
+                    [
+                        (r, "unparseable", n_raw - n_res),
+                        (r, "rejected", n_res - n_acc),
+                        (r, "duplicate", n_acc - res.n_new),
+                        (r, "budget", res.n_new - n_kept),
+                        (r, "pushed", n_kept),
+                    ],
+                    "round int, reason string, n long",
+                )
+                tail_jobs.append(
+                    lambda df=lineage_df, b=r: self.store.append(
+                        "lineage", df, b
+                    )
                 )
             else:
                 # post-limit drain round: no candidate pipeline, only the
@@ -649,13 +680,12 @@ class Crawler:
                 tick(f"drain stats agg sched={n_sched}")
 
             # metrics (SNK2)
-            self.store.append(
-                "metrics",
-                self.spark.createDataFrame(
-                    [(r, n_sched, n_ok, n_sched - n_ok, n_kept)],
-                    "round int, scheduled long, fetched_ok long, failed long, new_urls long",
-                ),
-                r,
+            metrics_df = self.spark.createDataFrame(
+                [(r, n_sched, n_ok, n_sched - n_ok, n_kept)],
+                "round int, scheduled long, fetched_ok long, failed long, new_urls long",
+            )
+            tail_jobs.append(
+                lambda df=metrics_df, b=r: self.store.append("metrics", df, b)
             )
 
             # next frontier = carryover ∪ fresh (FIFO: carry first by disc)
@@ -672,8 +702,19 @@ class Crawler:
                 for p in parts[1:]:
                     nxt = nxt.unionByName(p)
                 nxt = nxt.withColumn("round", F.lit(r + 1))
-                self.store.append("frontier", nxt, r + 1)
-            tick("frontier write")
+                tail_jobs.append(
+                    lambda df=nxt, b=r + 1: self.store.append(
+                        "frontier", df, b
+                    )
+                )
+            # the round's independent sinks (seen/bloom/lineage/metrics/
+            # frontier) all read cached inputs — run them as concurrent
+            # jobs; the state write below commits the round only after
+            # every sink has finished (same crash-consistency contract)
+            _parallel_jobs(*tail_jobs)
+            order_fut.result()
+            order_pool.shutdown()
+            tick("round tail (concurrent sinks)")
             has_next = (n_carry + n_kept) > 0
             n_frontier = n_carry + n_kept  # next round's size, tracked
 

@@ -39,8 +39,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores
     driver_mem = os.environ.get("CRAWLSPARK_DRIVER_MEM", driver_mem)
+    # GC capacity must scale with the level's core allotment the way a
+    # real node's does: 2 GC threads at local[4] vs 8 at local[16] was a
+    # measured 73s-of-GC asymmetry in one 230s stage (the N level paying
+    # long pauses the 4N level never saw — a protocol confound, not
+    # engine behavior)
     gc_threads = int(
-        os.environ.get("CRAWLSPARK_GC_THREADS", min(8, max(2, cores // 2)))
+        os.environ.get("CRAWLSPARK_GC_THREADS", min(8, max(4, cores // 2)))
     )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -61,6 +66,14 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    # opt-in event logging for scaling diagnostics (stage gaps = driver-
+    # serial time; stage times = parallel work) — bench/analyze_eventlog.py
+    evlog = os.environ.get("CRAWLSPARK_EVENTLOG_DIR")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evlog
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
