@@ -10,7 +10,7 @@ Round r (SURVEY.md §3 lifecycle):
       → uniform salted repartition for the fetch stage         [Q4]
       → robots broadcast gate (denied = counted failures)      [F5]
       → guards + resolver join against pages                   [F3,F4,SRC3,F6]
-      → one mapInPandas: parse + links + spans                 [P1-P4]
+      → one mapInArrow: parse + links + spans                 [P1-P4]
       → documents / order / metrics appends                    [SNK1,SNK2]
       → link resolve (pandas UDF) → native accept filter       [U1,F1]
       → first-wins window → anti-join seen → budget            [Q1]
@@ -289,6 +289,7 @@ class Crawler:
         10^8-row seed table never round-trips through the driver.
         Sitemap entries (small policy-sized input) are pushed BEFORE
         seeds (crawler.go:313-331)."""
+        tick = _Tick("init")
         rows = []
         order = 0
         if sitemap_entries is not None:
@@ -326,10 +327,12 @@ class Crawler:
                 "parent_disc", "link_index", "priority",
             )
         )
+        tick("seed cands built")
         res = dedup_candidates(
             cands, None, pushed=0, limit=self.cfg.limit,
             limit_reached=False, num_partitions=self.P,
         )
+        tick("seed dedup")
         # NOTE: reference seed-push failures are logged, not flag-setting
         # (crawler.go:320-329); the flag only matters for parse-time pushes
         # and with a 0-room budget the first parse push trips it anyway —
@@ -338,7 +341,9 @@ class Crawler:
             return 0, False
         frontier = res.fresh.withColumn("round", F.lit(0))
         self.store.append("frontier", frontier, 0)
+        tick("seed frontier write")
         self._append_seen(res.fresh, 0)
+        tick("seed seen write")
         if self.cfg.use_bloom:
             from . import bloom as bloom_mod
 
@@ -353,6 +358,7 @@ class Crawler:
                 ),
                 0,
             )
+            tick("seed bloom build")
         res.unpersist()
         return res.pushed_end, res.limit_reached
 
