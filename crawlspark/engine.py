@@ -204,8 +204,22 @@ class Crawler:
             # co-locate the web table by the fetch-join key ONCE (the
             # in-sandbox analogue of bucketing the pages/Iceberg table):
             # every round's resolver join then reads this cached layout
-            # with no exchange and no sort on the big side
-            self.pages = pages.repartition(P, "host", "url_key").persist()
+            # with no exchange and no sort on the big side.
+            # DISK_ONLY, deliberately: the web table (HTML bodies — by far
+            # the largest state in the job) must never be RESIDENT in
+            # executor heap. A heap-resident web cache is (1) impossible at
+            # 100 TB and (2) measurably toxic in-sandbox: it inflates G1
+            # mixed-collection copying cost for the whole job and evicts
+            # the per-round caches that are actually hot (parsed,
+            # cands_raw), causing recompute storms. The disk store lands on
+            # spark.local.dir (tmpfs in the bench = OS page cache, zero
+            # GC); the cached partitioning still avoids the per-round
+            # exchange+sort on the big side.
+            from pyspark import StorageLevel
+
+            self.pages = pages.repartition(P, "host", "url_key").persist(
+                StorageLevel.DISK_ONLY
+            )
         self.robots = robots_rules
         # compile the (broadcast-small) rule set once so the per-round
         # gate is a narrow literal-map projection — no join, no window
@@ -328,9 +342,28 @@ class Crawler:
             )
         )
         tick("seed cands built")
+        # seed dense-order buckets on link_index (= seed_order): one cheap
+        # count replaces the range-sampling pass over the canonize chain
+        if isinstance(seeds, DataFrame):
+            n_seed = seeds_df.count()
+        else:
+            n_seed = len(rows)
+        order_bucket = None
+        if n_seed > 0:
+            order_bucket = F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(self.P - 1),
+                    F.floor(
+                        F.col("link_index").cast("long")
+                        * F.lit(self.P) / F.lit(n_seed)
+                    ),
+                ),
+            )
         res = dedup_candidates(
             cands, None, pushed=0, limit=self.cfg.limit,
             limit_reached=False, num_partitions=self.P,
+            order_bucket=order_bucket,
         )
         tick("seed dedup")
         # NOTE: reference seed-push failures are logged, not flag-setting
@@ -587,6 +620,15 @@ class Crawler:
                                     ),
                                 )
                             ).alias("cbuckets"),
+                            # accepted parent_disc bounds: drive the
+                            # sampling-free dense-order buckets (same
+                            # fused job — no extra action)
+                            F.min(
+                                F.when(accept_expr, F.col("parent_disc"))
+                            ).alias("pd_lo"),
+                            F.max(
+                                F.when(accept_expr, F.col("parent_disc"))
+                            ).alias("pd_hi"),
                         )
                     )
                     .collect()[0]
@@ -632,6 +674,25 @@ class Crawler:
                         else "merge"
                     )
                 self.probe_choices.append(probe)
+                # sampling-free dense order: the accepted parents' disc
+                # range is known from the fused agg, so the global FIFO
+                # index uses analytic order-buckets (monotone in
+                # (parent_disc, link_index)) instead of a sampled range
+                # partitioning — one full pass less per round
+                order_bucket = None
+                if lin["pd_lo"] is not None:
+                    pd_lo = int(lin["pd_lo"])
+                    span = int(lin["pd_hi"]) - pd_lo + 1
+                    order_bucket = F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(self.P - 1),
+                            F.floor(
+                                (F.col("parent_disc") - F.lit(pd_lo))
+                                * F.lit(self.P) / F.lit(span)
+                            ),
+                        ),
+                    )
                 res = dedup_candidates(
                     cands, seen.select(F.col("url_key").alias("seen_key")),
                     pushed=pushed, limit=cfg.limit,
@@ -639,6 +700,7 @@ class Crawler:
                     bloom=bloom_arg,
                     n_attempts=int(lin["accepted"]) if cfg.limit > 0 else None,
                     seen_probe=probe,
+                    order_bucket=order_bucket,
                 )
                 dedup_res = res
                 tick("dedup")

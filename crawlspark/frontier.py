@@ -52,29 +52,49 @@ def with_dense_order(
     start: int = 0,
     num_partitions: Optional[int] = None,
     handles: Optional[list] = None,
+    bucket_col: Optional[Column] = None,
 ) -> Tuple[DataFrame, int]:
     """Assign a dense 0-based global index in ``order_cols`` order, fully
-    distributed: range partition → per-partition row_number + cumulative
-    partition offsets (computed from per-partition counts; only #partitions
-    scalars hit the driver). Returns (df_with_index, end_index).
+    distributed: order-bucket → per-bucket row_number + cumulative bucket
+    offsets (computed from per-bucket counts; only #buckets scalars hit
+    the driver). Returns (df_with_index, end_index).
 
-    The input is persisted internally (two actions share the range
-    exchange); caller should not rely on the persisted handle."""
+    ``bucket_col`` — the scale path: an integer expression that is
+    MONOTONE w.r.t. the lexicographic ``order_cols`` order (every row in
+    bucket b sorts before every row in bucket b+1), e.g.
+    ``floor((parent_disc - lo) * P / span)`` with driver-known bounds.
+    Buckets replace physical range partitioning entirely: the window
+    hash-exchanges on the bucket value and the global index is
+    offset[bucket] + per-bucket row_number, so NO range sampling pass
+    runs (repartitionByRange samples its input — a full extra
+    materialization of the upstream chain every round) and correctness
+    is independent of physical placement. Bucket skew costs parallelism,
+    never exactness.
+
+    Without ``bucket_col`` (unknown bounds), falls back to
+    repartitionByRange + spark_partition_id; the input is persisted
+    internally (two actions share the range exchange)."""
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     t0 = time.time()
     if _DEBUG_TIMING:
-        # separate the range-sampling job from the counts job
+        # label the dense-order jobs in the event log (cleared below —
+        # a sticky description would mislabel every later job)
         df.sparkSession.sparkContext.setJobDescription("dense-order")
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    if handles is not None:
-        handles.append(ranged)
+    if bucket_col is not None:
+        ranged = df.withColumn("_pid", bucket_col.cast("int"))
+    else:
+        ranged = (
+            df.repartitionByRange(num_partitions, *order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        if handles is not None:
+            handles.append(ranged)
     counts_df = ranged.groupBy("_pid").agg(F.count("*").alias("cnt"))
     counts = {r["_pid"]: r["cnt"] for r in counts_df.collect()}
+    if _DEBUG_TIMING:
+        df.sparkSession.sparkContext.setJobDescription(None)
     _t("dense-order counts collect", t0)
     offsets = {}
     acc = start
@@ -165,6 +185,7 @@ def dedup_candidates(
     bloom: Optional[tuple] = None,
     n_attempts: Optional[int] = None,
     seen_probe: str = "merge",
+    order_bucket: Optional[Column] = None,
 ) -> DedupResult:
     """Apply push semantics to this round's accepted candidates.
 
@@ -176,6 +197,9 @@ def dedup_candidates(
     test; bloom-negative rows are provably new (exactness preserved).
     ``n_attempts``: push-attempt count when the caller already knows it
     (fused into the engine's round agg) — avoids a dedicated count job.
+    ``order_bucket``: optional monotone integer bucket expression over the
+    order key (see with_dense_order) — enables the sampling-free dense
+    index when the caller knows the order-key bounds.
     ``seen_probe``: how the cross-round membership test executes:
       - "merge": plain ``left_anti`` (sort-merge / AQE choice) — both
         sides shuffle; the safe default at unbounded per-round volumes.
@@ -244,7 +268,7 @@ def dedup_candidates(
     handles.append(new)
     new, n_new = with_dense_order(
         new, order_key, "_idx", start=0, num_partitions=num_partitions,
-        handles=handles,
+        handles=handles, bucket_col=order_bucket,
     )
     t0 = _t("dense-order(build)", t0)
     n_after_first_wins = n_new  # (first-wins count only needed for lineage)

@@ -142,3 +142,44 @@ def test_dense_order_broadcast_offsets_beyond_literal_max(spark):
     assert got_b == got_small
     # dense, 0-gap, starts at `start`
     assert [i for _, i in got_b] == list(range(3, 3 + 5000))
+
+
+def test_dense_order_bucket_col_no_sampling_identical_index(spark):
+    """The sampling-free dense order (bucket_col = analytic monotone
+    buckets over the order key) must (1) produce the identical dense
+    index as the sampled repartitionByRange path, (2) put NO
+    repartitionByRange/RangePartitioning in the plan, and (3) stay exact
+    under bucket skew and out-of-range clamping."""
+    import crawlspark.frontier as fr
+
+    df = spark.range(5000).select(
+        (F.col("id") * 7919 % 97).alias("parent_disc"),  # heavy skew: 97 keys
+        F.col("id").cast("int").alias("link_index"),
+    )
+    order = [F.col("parent_disc"), F.col("link_index")]
+
+    out_ref, end_ref = fr.with_dense_order(
+        df, order, "_idx", start=3, num_partitions=8
+    )
+    got_ref = [
+        (r["parent_disc"], r["link_index"], r["_idx"])
+        for r in out_ref.orderBy("_idx").collect()
+    ]
+
+    # analytic buckets over a DELIBERATELY wrong span (clamps exercise
+    # greatest/least) — monotone is the only requirement for exactness
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(F.lit(7), F.floor(F.col("parent_disc") * 8 / F.lit(50))),
+    )
+    out_b, end_b = fr.with_dense_order(
+        df, order, "_idx", start=3, num_partitions=8, bucket_col=bucket
+    )
+    plan = out_b._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    got_b = [
+        (r["parent_disc"], r["link_index"], r["_idx"])
+        for r in out_b.orderBy("_idx").collect()
+    ]
+    assert end_b == end_ref == 3 + 5000
+    assert got_b == got_ref
