@@ -215,6 +215,60 @@ def pd_accept(
 SQL_ABS_SIMPLE = r"^[a-z][a-z0-9+.\-]*://[^\s<>\x22{}|\\^`]*$"
 SQL_PATH_NEEDS_CLEAN = r"(//)|((^|/)\.\.?(/|$))"
 
+# Fused single-regex masks for the candidate hot path. Each folds the old
+# two-regex conjunction (shape mask AND printable-ASCII mask) into one
+# java.util.regex pass via char-class intersection: the body class is
+# printable-ASCII-minus-space (\x21-\x7E) minus the URL-breaking specials
+# of SQL_ABS_SIMPLE. Equivalence with (SQL_ABS_SIMPLE & ~[^\x20-\x7E]):
+# SQL_ABS_SIMPLE's [^\s...] already excluded \x20, so the conjunction's
+# net charset is exactly \x21-\x7E minus the specials. Every rlike in
+# Spark converts the UTF8String row to a java.lang.String first, so
+# halving regex passes halves the dominant allocation traffic of the
+# candidate pipeline (the 100k-page event logs show this stage as the
+# single largest CPU term).
+SQL_ABS_CLEAN = (
+    r"^[a-z][a-z0-9+.\-]*://[\x21-\x7E&&[^<>\x22{}|\\^`]]*$"
+)
+# Rooted-relative tier in ONE pass over trim(href): `^/` implies the href
+# cannot match ^[A-Za-z][A-Za-z0-9+.\-]*: (not absolute — F.trim strips
+# only \x20, and neither ' ' nor '/' starts a scheme), and the printable
+# body class implies the old separate [^\x20-\x7E] href check (any
+# non-printable survives the space-only trim and fails the class).
+SQL_ROOTED_CLEAN = r"^/[\x21-\x7E&&[^<>\x22{}|\\^`]]*$"
+
+
+def _sql_path_needs_clean(path):
+    """SQL_PATH_NEEDS_CLEAN as pure UTF8String byte ops (no regex, no
+    String conversion): `//` anywhere, or `.`/`..` as a complete path
+    segment. Truth-table equal to the regex (tests pin it)."""
+    from pyspark.sql import functions as F
+
+    return (
+        path.contains("//")
+        | (path == ".")
+        | (path == "..")
+        | path.startswith("./")
+        | path.startswith("../")
+        | path.endswith("/.")
+        | path.endswith("/..")
+        | path.contains("/./")
+        | path.contains("/../")
+    )
+
+
+def _sql_mk_key(pcol, qcol):
+    """normalizeKey tail: strip ONE trailing slash (keep root), empty ⇒
+    "/", append "?"+query verbatim when non-empty — as byte ops
+    (≡ regexp_replace(p, "(.)/$", "$1") + the old when-chain)."""
+    from pyspark.sql import functions as F
+
+    cleaned = F.when(
+        pcol.endswith("/") & (F.length(pcol) > 1),
+        F.substring(pcol, 1, F.length(pcol) - 1),
+    ).otherwise(pcol)
+    k = F.when(cleaned == "", F.lit("/")).otherwise(cleaned)
+    return F.when(qcol != "", F.concat(k, F.lit("?"), qcol)).otherwise(k)
+
 
 def canonize_links(df, href_col, udf, native: bool = True):
     """Derive (url, host, url_key) for candidate links.
@@ -246,18 +300,34 @@ def canonize_links(df, href_col, udf, native: bool = True):
             F.col("c.url_key").alias("url_key"),
         )
 
-    # fragment is kept in the URL but never in the key (url.go:52-72)
-    nofrag = F.regexp_replace(href, "#.*$", "")
-    path = F.regexp_extract(nofrag, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    # fragment is kept in the URL but never in the key (url.go:52-72).
+    # Everything below the two fused rlike masks is UTF8String byte ops:
+    # each regexp_* / rlike converts the row to java.lang.String first,
+    # and at ~20 passes/link the conversions dominated the candidate
+    # pipeline's CPU (event-log measured: the fused-agg stage IS the
+    # largest stage of the crawl). Two regex passes per link remain.
+    nofrag = F.substring_index(href, "#", 1)  # ≡ regexp_replace("#.*$")
+    # authority split for absolute hrefs (valid under abs_clean only —
+    # unused garbage otherwise, guarded by the mask in every consumer):
+    # rest = after '://'; host = rest up to first '/' or '?';
+    # path = '/'-rooted remainder up to '?'; query = after first '?'.
+    rest = F.substring(nofrag, F.locate("://", nofrag) + 3, F.length(nofrag))
+    hostq = F.substring_index(rest, "?", 1)
+    slash = F.locate("/", hostq)
+    path = F.when(
+        slash > 0, F.substring(hostq, slash, F.length(hostq))
+    ).otherwise(F.lit(""))
+    qpos = F.locate("?", nofrag)
+    query = F.when(
+        qpos > 0, F.substring(nofrag, qpos + 1, F.length(nofrag))
+    ).otherwise(F.lit(""))
+    host_abs = F.substring_index(hostq, "/", 1)
 
     is_native = (
         href.isNotNull()
-        & href.rlike(SQL_ABS_SIMPLE)
-        # control chars (Go url.Parse errors ⇒ skip row) AND raw non-ASCII
-        # (to_string percent-escapes them ⇒ exact path) in one regex
-        & ~href.rlike(SQL_NON_PRINTABLE_ASCII)
-        & ~path.rlike(SQL_PATH_NEEDS_CLEAN)
+        # ONE regex: SQL_ABS_SIMPLE ∧ printable-ASCII (see SQL_ABS_CLEAN)
+        & href.rlike(SQL_ABS_CLEAN)
+        & ~_sql_path_needs_clean(path)
         & ~path.contains("%")  # escaped paths percent-decode ⇒ exact path
     )
 
@@ -266,28 +336,44 @@ def canonize_links(df, href_col, udf, native: bool = True):
     # trimmed href, entirely JVM-side. Masks are deliberately conservative
     # so every row the exact parser could treat differently (unicode
     # whitespace trim, escapes, dot segments, odd parents) falls through.
-    pprefix = F.regexp_extract(
-        F.col("parent_url"), r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1
-    )
-    ppath = F.regexp_extract(
-        F.col("parent_url"), r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
-    )
+    # Parent-derived columns (_pprefix, _phost, _parent_ok) may be
+    # precomputed by the caller BEFORE the link explode (one evaluation
+    # per page instead of per link); computed inline otherwise.
+    if "_pprefix" in df.columns:
+        pprefix = F.col("_pprefix")
+        phost = F.col("_phost")
+        parent_ok = F.col("_parent_ok")
+        passthrough = [
+            c for c in passthrough
+            if c not in ("_pprefix", "_phost", "_parent_ok")
+        ]
+    else:
+        pprefix = F.regexp_extract(
+            F.col("parent_url"), r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1
+        )
+        ppath = F.regexp_extract(
+            F.col("parent_url"), r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+        )
+        phost = F.regexp_extract(F.col("parent_url"), SQL_HOST_RE, 1)
+        parent_ok = F.col("parent_url").rlike(SQL_ABS_SIMPLE) & ~ppath.contains("%")
     trimmed = F.trim(href)
-    rr_nofrag = F.regexp_replace(trimmed, "#.*$", "")
-    rr_path = F.regexp_extract(rr_nofrag, r"^([^?#]*)", 1)
-    rr_query = F.regexp_extract(rr_nofrag, r"\?([^#]*)", 1)
+    rr_nofrag = F.substring_index(trimmed, "#", 1)
+    rr_path = F.substring_index(rr_nofrag, "?", 1)  # ≡ ^([^?#]*) capture
+    rr_qpos = F.locate("?", rr_nofrag)
+    rr_query = F.when(
+        rr_qpos > 0, F.substring(rr_nofrag, rr_qpos + 1, F.length(rr_nofrag))
+    ).otherwise(F.lit(""))
     is_rootrel = (
         href.isNotNull()
-        # printable-ASCII only: excludes control chars and unicode
-        # whitespace (so F.trim ≡ Go TrimSpace) AND raw non-ASCII (which
-        # the exact parser's round-trip percent-escapes)
-        & ~href.rlike(SQL_NON_PRINTABLE_ASCII)
-        & ~href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")  # not absolute
-        & trimmed.rlike(r"^/[^\s<>\x22{}|\\^`]*$")  # rooted, clean charset
+        # ONE regex on trim(href): rooted + printable charset. `^/` also
+        # implies not-absolute, and the printable class implies the old
+        # separate [^\x20-\x7E] href check (F.trim strips only \x20, so
+        # any non-printable byte survives into trimmed and fails the
+        # class) — so F.trim ≡ Go TrimSpace on every accepted row.
+        & trimmed.rlike(SQL_ROOTED_CLEAN)
         & ~trimmed.startswith("//")  # protocol-relative is a distinct case
-        & F.col("parent_url").rlike(SQL_ABS_SIMPLE)  # clean parent
-        & ~ppath.contains("%")  # parent path must re-parse unchanged
-        & ~rr_path.rlike(SQL_PATH_NEEDS_CLEAN)
+        & parent_ok  # clean parent whose path re-parses unchanged
+        & ~_sql_path_needs_clean(rr_path)
         & ~rr_path.contains("%")
     )
 
@@ -295,26 +381,18 @@ def canonize_links(df, href_col, udf, native: bool = True):
         is_rootrel, F.lit(False)
     )
 
-    def _mk_key(pcol, qcol):
-        cleaned = F.regexp_replace(pcol, r"(.)/$", "$1")
-        k = F.when(cleaned == "", F.lit("/")).otherwise(cleaned)
-        return F.when(qcol != "", F.concat(k, F.lit("?"), qcol)).otherwise(k)
-
     # one native branch, CASE on the (cheaper) absolute mask inside — the
-    # regex mask battery is the dominant JVM CPU of the candidate
-    # pipeline (event-log measured ~1000 CPU-s/crawl on the 400k bench
-    # when every branch re-evaluated it), so the plan evaluates it for
-    # two filters (native / slow) instead of three
+    # mask battery is the dominant JVM CPU of the candidate pipeline, so
+    # the plan evaluates it for two filters (native / slow) instead of
+    # three
     fast_out = df.filter(native_any).select(
         *passthrough,
         F.when(is_native, href)
         .otherwise(F.concat(pprefix, trimmed))
         .alias("url"),
-        F.when(is_native, F.regexp_extract(href, SQL_HOST_RE, 1))
-        .otherwise(F.regexp_extract(F.col("parent_url"), SQL_HOST_RE, 1))
-        .alias("host"),
-        F.when(is_native, _mk_key(path, query))
-        .otherwise(_mk_key(rr_path, rr_query))
+        F.when(is_native, host_abs).otherwise(phost).alias("host"),
+        F.when(is_native, _sql_mk_key(path, query))
+        .otherwise(_sql_mk_key(rr_path, rr_query))
         .alias("url_key"),
     )
     slow_out = df.filter(~native_any).select(

@@ -526,13 +526,33 @@ class Crawler:
             round_handles = []
             tail_jobs = []  # independent sink jobs, submitted concurrently
             if not limit_reached:
+                # parent-derived canon columns (_pprefix/_phost/_parent_ok)
+                # are computed HERE, before the link explode, so each
+                # page's regexes run once instead of once per link
+                # (fanout ~19x on the bench graph); canonize_links
+                # consumes and drops them
+                _purl = F.col("url")
+                _ppath = F.regexp_extract(
+                    _purl, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+                )
                 links = parsed.filter(F.col("fetched_ok")).select(
                     F.col("url").alias("parent_url"),
                     F.col("disc_order").alias("parent_disc"),
                     "priority",
+                    F.regexp_extract(
+                        _purl, r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1
+                    ).alias("_pprefix"),
+                    F.regexp_extract(_purl, canon.SQL_HOST_RE, 1).alias(
+                        "_phost"
+                    ),
+                    (
+                        _purl.rlike(canon.SQL_ABS_SIMPLE)
+                        & ~_ppath.contains("%")
+                    ).alias("_parent_ok"),
                     F.explode("links").alias("l"),
                 ).select(
                     "parent_url", "parent_disc", "priority",
+                    "_pprefix", "_phost", "_parent_ok",
                     F.col("l.link_index").alias("link_index"),
                     F.col("l.href").alias("href"),
                 )

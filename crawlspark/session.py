@@ -71,8 +71,10 @@ def get_spark(
     evlog = os.environ.get("CRAWLSPARK_EVENTLOG_DIR")
     if evlog:
         os.makedirs(evlog, exist_ok=True)
-        b = b.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", evlog
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evlog)
+            .config("spark.eventLog.compress", "false")
         )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
