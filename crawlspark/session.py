@@ -63,6 +63,16 @@ def get_spark(
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size for every Python boundary (parse mapInArrow,
+        # pandas UDFs): the 10k default puts ~20MB of HTML plus the
+        # to_pylist copies resident per worker per batch; at high worker
+        # counts that thrashes the shared cache/bandwidth. Paired co-run
+        # A/B (100k pages, local[2] vs local[8], same time window):
+        # 2048 cut the 4N-level crawl wall 164s -> 118s (-28%) and
+        # raised 2->8 scaling efficiency 0.516 -> 0.671, identical
+        # checksum. Smaller batches also smooth producer/consumer
+        # pipelining across the Arrow socket.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
@@ -76,6 +86,12 @@ def get_spark(
             .config("spark.eventLog.dir", evlog)
             .config("spark.eventLog.compress", "false")
         )
+    # ad-hoc conf overrides for experiments/ops without code changes:
+    # CRAWLSPARK_EXTRA_CONF="key=value;key2=value2"
+    env_conf = os.environ.get("CRAWLSPARK_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
