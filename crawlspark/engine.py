@@ -49,6 +49,22 @@ from .storage import CheckpointStore
 _DEBUG_TIMING = os.environ.get("CRAWLSPARK_DEBUG_TIMING") == "1"
 
 
+def _cands_storage_level():
+    """Storage level for the per-round cands_raw cache. Default
+    MEMORY_AND_DISK (heap-columnar). CRAWLSPARK_CANDS_CACHE=disk selects
+    DISK_ONLY: with spark.local.dir on tmpfs the blocks still live in
+    RAM (OS page cache) but stay OFF the executor heap — at multi-million
+    -link rounds the heap-columnar build of this cache competes with the
+    aggregation's execution memory inside the crawl's largest stage."""
+    from pyspark import StorageLevel
+
+    return (
+        StorageLevel.DISK_ONLY
+        if os.environ.get("CRAWLSPARK_CANDS_CACHE", "").lower() == "disk"
+        else StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def _parallel_jobs(*thunks) -> list:
     """Run independent Spark actions concurrently from driver threads.
 
@@ -564,7 +580,7 @@ class Crawler:
                 # filters/windows read the cache.
                 cands_raw = canon.canonize_links(
                     links, "href", self.udfs["canonize"]
-                ).persist()
+                ).persist(_cands_storage_level())
                 round_handles.append(cands_raw)
 
                 resolved_ok = (
