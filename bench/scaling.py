@@ -283,8 +283,11 @@ def run_pair(n: int, n4: int, pages: int) -> tuple[dict, dict]:
     """One paired measurement: both levels co-started on disjoint cpusets;
     burner tail on the finished level's cores keeps the box uniformly
     loaded until the slower level completes."""
+    import tempfile
+
     small, big = _coresets_corun(n, n4)
     procs = {}
+    outfiles = {}
     for cpus, cores in ((n, small), (n4, big)):
         env = dict(
             os.environ,
@@ -297,8 +300,12 @@ def run_pair(n: int, n4: int, pages: int) -> tuple[dict, dict]:
             "taskset", "-c", ",".join(map(str, cores)),
             sys.executable, os.path.join(REPO, "bench.py"),
         ]
+        # child stdout goes to a temp FILE, not a pipe: a child writing
+        # more than the OS pipe buffer (~64KB) before exit would block on
+        # write while this loop polls forever (ADVICE r3)
+        outfiles[cpus] = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
         procs[cpus] = subprocess.Popen(
-            cmd, env=env, stdout=subprocess.PIPE,
+            cmd, env=env, stdout=outfiles[cpus],
             stderr=subprocess.DEVNULL, text=True,
         )
     burners: list = []
@@ -309,7 +316,9 @@ def run_pair(n: int, n4: int, pages: int) -> tuple[dict, dict]:
             for cpus, p in list(remaining.items()):
                 if p.poll() is None:
                     continue
-                out, _ = p.communicate()
+                f = outfiles[cpus]
+                f.seek(0)
+                out = f.read()
                 lines = [
                     l for l in out.strip().splitlines()
                     if l.startswith("{")
@@ -330,6 +339,8 @@ def run_pair(n: int, n4: int, pages: int) -> tuple[dict, dict]:
         for p in procs.values():
             if p.poll() is None:
                 p.kill()
+        for f in outfiles.values():
+            f.close()
     return results[n], results[n4]
 
 
@@ -380,15 +391,23 @@ def main_corun(pages: int, n: int, n4: int, reps: int) -> None:
     # input cache must exist before two benches race to create it
     if not os.path.isdir(f"/tmp/crawlspark_bench_input_{pages}"):
         run_at(n4, pages)
+    import statistics
+
     pairs = [run_pair(n, n4, pages) for _ in range(reps)]
     effs = [
         (r4["value"] / rn["value"]) / 4 for rn, r4 in pairs
     ]
-    best_i = max(range(reps), key=lambda i: effs[i])
-    rn, rn4 = pairs[best_i]
+    # gate on the MEDIAN pair (ADVICE r3): the co-run design already
+    # cancels ambient noise within a pair, so remaining pair-to-pair
+    # spread is real variance — max-of-pairs would be biased upward.
+    # Best is reported alongside for the spread.
+    order = sorted(range(reps), key=lambda i: effs[i])
+    med_i = order[reps // 2]
+    eff = statistics.median(effs) if reps % 2 else effs[med_i]
+    eff_best = max(effs)
+    rn, rn4 = pairs[med_i]
     ceil_ratios = hw_ceiling_corun(n, n4)
     ceil = max(ceil_ratios)
-    eff = effs[best_i]
     eff_norm = eff / ceil if ceil > 0 else float("nan")
     same = all(
         a["crawl_checksum"] == b["crawl_checksum"] for a, b in pairs
@@ -412,12 +431,13 @@ emulation of two clusters that actually coexist. Each level's cpuset is
 allotment), the core budget scales exactly with claimed parallelism,
 and both measurements of a pair share one time window, so the shared
 host's 2-3x co-tenant swings hit both levels together and cancel in
-the ratio (the round-2/round-3 sequential protocols compared different
+the ratio (the rounds-1/2 sequential protocols compared different
 windows). When the 4N level finishes, engine-free page-parse burners
 occupy its cores until the N level completes, so the N level sees a
 uniformly loaded box for its entire run — as a real N-node cluster
-would. {reps} pairs; the gate uses the best pair (min-noise estimator;
-all pairs shown).
+would. {reps} pairs; the gate uses the MEDIAN pair (within-pair noise
+already cancels, so pair-to-pair spread is real variance — a best-pair
+gate would be biased upward; best shown alongside).
 
 | pair | local[{n}] wall (s) | local[{n4}] wall (s) | efficiency (thr4N/thrN)/4 |
 |---|---|---|---|
@@ -427,12 +447,13 @@ all pairs shown).
         for i in range(reps)
     ) + f"""
 
-Best pair: local[{n}] {rn['value']} URLs/s ({rn['crawl_secs']}s),
+Median pair: local[{n}] {rn['value']} URLs/s ({rn['crawl_secs']}s),
 local[{n4}] {rn4['value']} URLs/s ({rn4['crawl_secs']}s) over
-{rn['crawl_urls']} URLs.
+{rn['crawl_urls']} URLs. Best pair efficiency: {eff_best:.3f}.
 
 **Scaling efficiency (T4N throughput / TN throughput)/4 = {eff:.3f}**
-(target >= 0.8): raw gate {"MET" if eff >= 0.8 else "NOT met"}.
+(median pair; target >= 0.8): raw gate
+{"MET" if eff >= 0.8 else "NOT met"}.
 
 Hardware ceiling under the IDENTICAL co-run condition (the engine's real
 page-parse work, equal work per process, {len(small)} procs on the small
@@ -459,6 +480,7 @@ evidence for the same rule.
     print(json.dumps({
         "protocol": "corun",
         "efficiency": round(eff, 3),
+        "efficiency_best": round(eff_best, 3),
         "efficiencies": [round(e, 3) for e in effs],
         "hw_ceiling": round(ceil, 3),
         "efficiency_normalized": round(eff_norm, 3),

@@ -286,7 +286,16 @@ def canonize_links(df, href_col, udf, native: bool = True):
     """
     from pyspark.sql import functions as F
 
-    passthrough = [c for c in df.columns if c not in ("parent_url", href_col)]
+    # private precomputed parent columns (_pprefix/_phost/_parent_ok) are
+    # consumed here and must never leak into the output schema — on ANY
+    # path, including native=False (ADVICE r3: the passthrough list used
+    # to keep them on the non-native path)
+    _PRECOMP = ("_pprefix", "_phost", "_parent_ok")
+    passthrough = [
+        c
+        for c in df.columns
+        if c not in ("parent_url", href_col) and c not in _PRECOMP
+    ]
     href = F.col(href_col)
 
     if not native:
@@ -343,10 +352,6 @@ def canonize_links(df, href_col, udf, native: bool = True):
         pprefix = F.col("_pprefix")
         phost = F.col("_phost")
         parent_ok = F.col("_parent_ok")
-        passthrough = [
-            c for c in passthrough
-            if c not in ("_pprefix", "_phost", "_parent_ok")
-        ]
     else:
         pprefix = F.regexp_extract(
             F.col("parent_url"), r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1

@@ -665,6 +665,16 @@ class Crawler:
                             F.max(
                                 F.when(accept_expr, F.col("parent_disc"))
                             ).alias("pd_hi"),
+                            # max attempt order key: makes the limit-
+                            # boundary trailing-attempt check in
+                            # dedup_candidates a pure scalar compare
+                            # (no extra jobs on the limit-hit round)
+                            F.max(
+                                F.when(
+                                    accept_expr,
+                                    F.struct("parent_disc", "link_index"),
+                                )
+                            ).alias("att_max"),
                         )
                     )
                     .collect()[0]
@@ -737,6 +747,11 @@ class Crawler:
                     n_attempts=int(lin["accepted"]) if cfg.limit > 0 else None,
                     seen_probe=probe,
                     order_bucket=order_bucket,
+                    attempts_max=(
+                        tuple(lin["att_max"])
+                        if cfg.limit > 0 and lin["att_max"] is not None
+                        else None
+                    ),
                 )
                 dedup_res = res
                 tick("dedup")

@@ -53,6 +53,7 @@ def with_dense_order(
     num_partitions: Optional[int] = None,
     handles: Optional[list] = None,
     bucket_col: Optional[Column] = None,
+    order_max_out: Optional[list] = None,
 ) -> Tuple[DataFrame, int]:
     """Assign a dense 0-based global index in ``order_cols`` order, fully
     distributed: order-bucket → per-bucket row_number + cumulative bucket
@@ -91,8 +92,18 @@ def with_dense_order(
         )
         if handles is not None:
             handles.append(ranged)
-    counts_df = ranged.groupBy("_pid").agg(F.count("*").alias("cnt"))
-    counts = {r["_pid"]: r["cnt"] for r in counts_df.collect()}
+    # the max order key rides the same counts job (``order_max_out``):
+    # consumers needing "the last row's key" (the limit-boundary
+    # trailing-attempt check) get it for free instead of running a
+    # dedicated orderBy-limit collect over a possibly-evicted cache
+    counts_df = ranged.groupBy("_pid").agg(
+        F.count("*").alias("cnt"),
+        F.max(F.struct(*order_cols)).alias("mx"),
+    )
+    rows = counts_df.collect()
+    counts = {r["_pid"]: r["cnt"] for r in rows}
+    if order_max_out is not None and rows:
+        order_max_out.append(max(tuple(r["mx"]) for r in rows))
     if _DEBUG_TIMING:
         df.sparkSession.sparkContext.setJobDescription(None)
     _t("dense-order counts collect", t0)
@@ -186,6 +197,7 @@ def dedup_candidates(
     n_attempts: Optional[int] = None,
     seen_probe: str = "merge",
     order_bucket: Optional[Column] = None,
+    attempts_max: Optional[tuple] = None,
 ) -> DedupResult:
     """Apply push semantics to this round's accepted candidates.
 
@@ -200,6 +212,11 @@ def dedup_candidates(
     ``order_bucket``: optional monotone integer bucket expression over the
     order key (see with_dense_order) — enables the sampling-free dense
     index when the caller knows the order-key bounds.
+    ``attempts_max``: max (parent_disc, link_index) over ALL attempts —
+    when the caller already has it (fused into the engine's round agg),
+    the limit-boundary trailing-attempt check becomes a pure scalar
+    comparison against the deduped set's max key (which rides the
+    dense-order counts job) instead of two extra jobs.
     ``seen_probe``: how the cross-round membership test executes:
       - "merge": plain ``left_anti`` (sort-merge / AQE choice) — both
         sides shuffle; the safe default at unbounded per-round volumes.
@@ -266,9 +283,11 @@ def dedup_candidates(
     t0 = time.time()
     new = new.persist()
     handles.append(new)
+    _new_max_out: list = []
     new, n_new = with_dense_order(
         new, order_key, "_idx", start=0, num_partitions=num_partitions,
         handles=handles, bucket_col=order_bucket,
+        order_max_out=_new_max_out,
     )
     t0 = _t("dense-order(build)", t0)
     n_after_first_wins = n_new  # (first-wins count only needed for lineage)
@@ -294,6 +313,13 @@ def dedup_candidates(
                 # were any attempts ordered after the budget-exhausting push?
                 if room == 0:
                     limit_hit = n_attempts > 0
+                elif attempts_max is not None and _new_max_out:
+                    # scalar path: kept == new here (n_new == room), so the
+                    # last kept key is the deduped set's max order key —
+                    # already collected inside the dense-order counts job.
+                    # A trailing attempt exists iff some attempt orders
+                    # strictly after it.
+                    limit_hit = tuple(attempts_max) > _new_max_out[0]
                 else:
                     last = (
                         kept.orderBy(F.col("_idx").desc())

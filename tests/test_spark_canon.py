@@ -101,6 +101,57 @@ def test_native_canonize_matches_udf(spark):
     assert n_native >= 200
 
 
+def test_native_canonize_precomputed_parent_cols(spark):
+    """The engine hoists the parent-derived columns (_pprefix/_phost/
+    _parent_ok) above the link explode; the precomputed-column branch of
+    canonize_links must (a) produce output identical to the inline-native
+    and udf paths and (b) never leak the private columns into the output
+    schema — on ANY path (ADVICE r3)."""
+    from tests.test_canon_vectorized import HREFS, PARENTS
+
+    udfs = canon.register_udfs()
+    rows = []
+    i = 0
+    for p in PARENTS:
+        for h in HREFS:
+            rows.append((p, i, h))
+            i += 1
+    df = spark.createDataFrame(rows, "parent_url string, rid long, href string")
+
+    # the engine's exact hoisted expressions (engine.py candidate pipeline)
+    _purl = F.col("parent_url")
+    _ppath = F.regexp_extract(
+        _purl, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    pre = df.select(
+        "parent_url", "rid", "href",
+        F.regexp_extract(
+            _purl, r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1
+        ).alias("_pprefix"),
+        F.regexp_extract(_purl, canon.SQL_HOST_RE, 1).alias("_phost"),
+        (
+            _purl.rlike(canon.SQL_ABS_SIMPLE) & ~_ppath.contains("%")
+        ).alias("_parent_ok"),
+    )
+
+    def res(out_df):
+        assert not any(c.startswith("_p") for c in out_df.columns)
+        return {
+            r["rid"]: (r["url"], r["host"], r["url_key"])
+            for r in out_df.collect()
+        }
+
+    got_pre = res(canon.canonize_links(pre, "href", udfs["canonize"], native=True))
+    got_pre_udf = res(
+        canon.canonize_links(pre, "href", udfs["canonize"], native=False)
+    )
+    got_inline = res(
+        canon.canonize_links(df, "href", udfs["canonize"], native=True)
+    )
+    got_udf = res(canon.canonize_links(df, "href", udfs["canonize"], native=False))
+    assert got_pre == got_inline == got_udf == got_pre_udf
+
+
 def test_parquet_scan_pushdown(spark, tmp_path):
     """Filter + projection must reach the parquet scan (the 100 TB
     contract: a scan reading all columns for a 2-column projection is
