@@ -166,9 +166,12 @@ def _q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media pipeline: ref → deterministic PNG bytes → REAL header decode
-    (IHDR byte parsing). Oracle-checked columns exclude phash (a
-    documented placeholder pending a pixel codec) and the raw bytes."""
+    """Media pipeline: ref → deterministic REAL PNG bytes (full pixel
+    encode) → real header decode (IHDR byte parsing) → REAL perceptual
+    phash (stdlib zlib+numpy pixel decode + average-hash). Every column
+    except the raw bytes is oracle-checked, phash against literal values
+    computed INDEPENDENTLY from the raw synth pixels (no encode/decode
+    in the oracle path — the image_near_dups certification pattern)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     refs = d.select(
         F.concat(
@@ -178,7 +181,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media_ref")
     )
     return media_features(refs).select(
-        "media_ref", "n_bytes", "format", "width", "height"
+        "media_ref", "n_bytes", "format", "width", "height", "phash"
     )
 
 
@@ -511,26 +514,45 @@ WHERE hamming <= {max_hamming} AND cos_exact >= {min_cosine}
 
 
 def _media_sql() -> str:
-    """Oracle for the media pipeline: recomputes the deterministic PNG
-    dimensions (16 + md5-hexbyte % 64 — the formula fake_media_bytes
-    encodes into a real IHDR and decode_image parses back out) and the
-    fixed synthetic size (121 bytes)."""
-    return """
+    """Oracle for the media pipeline. width/height are recomputed IN SQL
+    from the md5 formula fake_media_bytes encodes into a real IHDR (and
+    decode_image parses back out). phash is a literal map computed
+    INDEPENDENTLY of the Spark path — average-hash straight over the raw
+    synth pixel arrays, no PNG encode, no decode — so a match certifies
+    the full encode(all 5 scanline filters)→decode→hash roundtrip.
+    n_bytes literals are encoder-derived (zlib output size has no
+    independent formula): a regression pin, not an independent check —
+    disclosed here. Map covers doc_id 0..499 (the sf0.01 documents
+    table the driver correctness gate runs on); an unexpected doc_id
+    surfaces as a NULL-row mismatch rather than a silent pass."""
+    from crawlspark.media import (average_hash, fake_media_bytes,
+                                  fake_media_pixels)
+
+    vals = []
+    for i in range(500):
+        ref = f"http://media.example/img/{i}.png"
+        ph = format(average_hash(fake_media_pixels(ref)), "016x")
+        vals.append(f"({i}, {len(fake_media_bytes(ref))}, '{ph}')")
+    return f"""
 WITH refs AS (
-  SELECT 'http://media.example/img/' || CAST(doc_id AS VARCHAR) || '.png'
+  SELECT doc_id,
+         'http://media.example/img/' || CAST(doc_id AS VARCHAR) || '.png'
            AS media_ref
   FROM documents
 ), d AS (
-  SELECT media_ref, md5(media_ref) AS dig FROM refs
+  SELECT doc_id, media_ref, md5(media_ref) AS dig FROM refs
+), expected(e_doc_id, e_n_bytes, e_phash) AS (
+  VALUES {", ".join(vals)}
 )
 SELECT media_ref,
-       CAST(121 AS INTEGER) AS n_bytes,
+       CAST(e_n_bytes AS INTEGER) AS n_bytes,
        'png' AS format,
        CAST(16 + (('0x' || substr(dig, 1, 2))::INTEGER % 64) AS INTEGER)
          AS width,
        CAST(16 + (('0x' || substr(dig, 3, 2))::INTEGER % 64) AS INTEGER)
-         AS height
-FROM d
+         AS height,
+       e_phash AS phash
+FROM d LEFT JOIN expected ON doc_id = e_doc_id
 """
 
 

@@ -169,6 +169,20 @@ class CrawlConfig:
     accept_fn: Optional[object] = None
     process_fn: Optional[object] = None
     remove_fn: Optional[object] = None
+    # Seen-table compaction cadence: when >= fanin seen batch dirs exist,
+    # merge them into one bucket-partitioned dir (storage.compact) so a
+    # long crawl's per-round seen scan reads O(fanin x buckets) files
+    # instead of O(rounds x buckets). 0 disables. Only applies with
+    # seen_buckets > 0 (the bucketed layout is the scale path).
+    seen_compact_fanin: int = 16
+    # Two-tier parse (parse.py native tier): pages passing the clean-page
+    # grammar are link/span-extracted entirely JVM-side; only dirty pages
+    # cross into the exact Arrow parse. Bit-exact either way (routing
+    # equality pinned by tests/test_native_parse.py); the switch exists
+    # for A/B measurement and is also overridable via
+    # CRAWLSPARK_NATIVE_PARSE=0. Hooks (process_fn/remove_fn) force the
+    # exact tier regardless.
+    native_parse: bool = True
 
     def __post_init__(self):
         # accept/reject regexes are evaluated under THREE dialects
@@ -317,15 +331,26 @@ class Crawler:
         sequence of URL strings (reference-style Start call) or a
         DataFrame with (url, seed_order[, priority]) — the scale path: a
         10^8-row seed table never round-trips through the driver.
-        Sitemap entries (small policy-sized input) are pushed BEFORE
-        seeds (crawler.go:313-331)."""
+        Sitemap entries are pushed BEFORE seeds (crawler.go:313-331) —
+        since round 4 also as a pure DataFrame union (a 10^7-entry
+        sitemap index used to .collect() to the driver): sitemap rows
+        keep their entry_order as the push-order key and seeds are
+        offset past max(entry_order), so the only driver traffic is one
+        scalar agg. entry_order must be distinct (sitemapsrc emits a
+        dense 0..n-1) — ties would make the push order nondeterministic."""
         tick = _Tick("init")
-        rows = []
         order = 0
+        smdf = None
         if sitemap_entries is not None:
-            for r in sitemap_entries.orderBy("entry_order").collect():
-                rows.append((r["loc"], order, float(r["priority"] or 0.0)))
-                order += 1
+            smdf = sitemap_entries.select(
+                F.col("loc").alias("url"),
+                F.col("entry_order").cast("int").alias("seed_order"),
+                F.coalesce(F.col("priority").cast("double"), F.lit(0.0))
+                .alias("priority"),
+            )
+            hi = smdf.agg(F.max("seed_order")).collect()[0][0]
+            order = 0 if hi is None else int(hi) + 1
+        rows = []
         if isinstance(seeds, DataFrame):
             sdf = seeds
             if "priority" not in sdf.columns:
@@ -336,14 +361,14 @@ class Crawler:
                 .alias("seed_order"),
                 F.col("priority").cast("double"),
             )
-            if rows:
-                sdf = self.spark.createDataFrame(rows, SEEDS).unionByName(sdf)
             seeds_df = sdf
         else:
             for s in seeds:
                 rows.append((s, order, 0.0))
                 order += 1
             seeds_df = self.spark.createDataFrame(rows, SEEDS)
+        if smdf is not None:
+            seeds_df = smdf.unionByName(seeds_df)
 
         cands = (
             canon.canonize_urls(seeds_df, "url", self.udfs["url_key"])
@@ -360,7 +385,7 @@ class Crawler:
         tick("seed cands built")
         # seed dense-order buckets on link_index (= seed_order): one cheap
         # count replaces the range-sampling pass over the canonize chain
-        if isinstance(seeds, DataFrame):
+        if isinstance(seeds, DataFrame) or smdf is not None:
             n_seed = seeds_df.count()
         else:
             n_seed = len(rows)
@@ -495,8 +520,29 @@ class Crawler:
                 crawl_host=None if cfg.multi_host else cfg.host,
                 broadcast_pages=cfg.broadcast_pages,
             )
+            use_native_parse = (
+                cfg.native_parse
+                and cfg.process_fn is None
+                and cfg.remove_fn is None
+                and os.environ.get("CRAWLSPARK_NATIVE_PARSE", "1") != "0"
+            )
+            fetched_handle = None
+            if use_native_parse:
+                # the native/exact tier split scans `fetched` twice (two
+                # disjoint filters); persist the round batch so the fetch
+                # join runs once. DISK_ONLY for the same reason as the
+                # pages cache: HTML bodies must never be heap-resident,
+                # and spark.local.dir sits on tmpfs in the bench. Cost is
+                # bounded by ROUND size, never corpus size.
+                from pyspark import StorageLevel
+
+                fetched_handle = fetched.persist(StorageLevel.DISK_ONLY)
+                fetched = fetched_handle
             parsed = parse_stage(
-                fetched, process_fn=cfg.process_fn, remove_fn=cfg.remove_fn
+                fetched,
+                process_fn=cfg.process_fn,
+                remove_fn=cfg.remove_fn,
+                native=use_native_parse,
             )
             if self.robots is not None:
                 denied_rows = denied.select(
@@ -838,6 +884,8 @@ class Crawler:
             n_frontier = n_carry + n_kept  # next round's size, tracked
 
             parsed.unpersist()
+            if fetched_handle is not None:
+                fetched_handle.unpersist()
             if dedup_res is not None:
                 dedup_res.unpersist()
             for h in round_handles:
@@ -848,6 +896,18 @@ class Crawler:
                  "limit_reached": limit_reached, "finished": not has_next,
                  "frontier_size": n_frontier}
             )
+            # post-commit maintenance: bound the seen scan's file count.
+            # Runs AFTER the state write, so the compacted label (= the
+            # committed next_round) always survives the resume truncate;
+            # crash mid-compaction is completed by the store's journal
+            # recovery, and rows keep first_round so resume to ANY round
+            # stays exact (truncate_after filters compacted dirs on it).
+            if cfg.seen_compact_fanin > 0 and cfg.seen_buckets > 0:
+                self.store.maybe_compact(
+                    "seen", upto=r, partition_by=["kbucket"],
+                    round_col="first_round",
+                    fanin=cfg.seen_compact_fanin,
+                )
             if not has_next:
                 drained = True
                 break

@@ -40,11 +40,28 @@ MEDIA_META = T.StructType(
         T.StructField("format", T.StringType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        # cheap byte-level exact-dup hash (md5 prefix), NOT perceptual
+        T.StructField("content_hash", T.StringType(), True),
+        # REAL perceptual average-hash (64-bit hex) — null when the bytes
+        # are not pixel-decodable (e.g. JPEG without a wired codec)
         T.StructField("phash", T.StringType(), True),
     ]
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Deployment seam for the one genuinely codec-gated decode: JPEG entropy
+# coding. A deployment wires a real codec here, e.g.
+#     import io, numpy as np
+#     from PIL import Image
+#     media.JPEG_PIXEL_DECODER = (
+#         lambda b: np.asarray(Image.open(io.BytesIO(b)).convert("L"))
+#     )
+# decode_pixels then returns its (h, w[, c]) uint8 array for JPEG bytes;
+# with the hook unset (this sandbox ships no codec), JPEG decode raises
+# NotImplementedError. The seam is covered by a stub-injection test
+# (tests/test_analysis_ops.py::test_jpeg_decoder_seam).
+JPEG_PIXEL_DECODER = None
 
 
 def _png_chunk(kind: bytes, payload: bytes) -> bytes:
@@ -81,16 +98,30 @@ def encode_jpeg(width: int, height: int) -> bytes:
     )
 
 
-def fake_media_bytes(ref: str) -> bytes:
-    """Deterministic stand-in for fetched media content: a real PNG whose
-    IHDR dimensions derive from md5(ref) — the exact formula the DuckDB
-    oracle recomputes (16 + hexbyte % 64). Fixed-size payload ⇒ n_bytes
-    is the constant 121."""
+def fake_media_pixels(ref: str):
+    """Deterministic grayscale pixel array for a media ref: dimensions
+    from md5(ref) (16 + hexbyte % 64 — the formula the DuckDB oracle
+    recomputes), pixel content seeded from the digest. This is the
+    ground truth the media_features oracle hashes INDEPENDENTLY of the
+    PNG encode/decode path (the image_near_dups certification pattern)."""
+    import numpy as np
+
     dig = hashlib.md5(ref.encode()).hexdigest()
     w = 16 + int(dig[0:2], 16) % 64
     h = 16 + int(dig[2:4], 16) % 64
-    payload = bytes.fromhex(dig) * 4  # 64 deterministic bytes
-    return encode_png(w, h, payload)
+    rs = np.random.RandomState(int(dig[4:12], 16))
+    return rs.randint(0, 256, (h, w)).astype(np.uint8)
+
+
+def fake_media_bytes(ref: str) -> bytes:
+    """Deterministic stand-in for fetched media content: a REAL, fully
+    pixel-decodable PNG (round 4 — formerly an opaque-IDAT header-only
+    fake) of fake_media_pixels(ref), scanline filter type cycled from
+    the digest so every filter path is exercised at corpus scale."""
+    dig = hashlib.md5(ref.encode()).hexdigest()
+    return encode_png_pixels(
+        fake_media_pixels(ref), filter_type=int(dig[12], 16) % 5
+    )
 
 
 def decode_image(content: bytes) -> Optional[Tuple[str, int, int]]:
@@ -209,15 +240,19 @@ def decode_pixels(content: bytes):
     unfiltering (all five PNG filter types), no image codec needed:
     returns a (h, w) or (h, w, channels) uint8 array. Supports 8-bit
     grayscale (color type 0), RGB (2) and RGBA (6), non-interlaced.
-    JPEG entropy decode genuinely requires a codec and raises
-    NotImplementedError (the one remaining genuinely-external decode;
-    a real deployment wires PIL/ffmpeg here)."""
+    JPEG entropy decode genuinely requires a codec: routed through the
+    JPEG_PIXEL_DECODER deployment seam when wired (see module top),
+    NotImplementedError otherwise."""
     import zlib
 
     import numpy as np
 
     if content is None or content[:8] != _PNG_SIG:
         if content is not None and content[:2] == b"\xff\xd8":
+            if JPEG_PIXEL_DECODER is not None:  # deployment-wired codec
+                import numpy as np
+
+                return np.asarray(JPEG_PIXEL_DECODER(content), dtype=np.uint8)
             raise NotImplementedError("JPEG entropy decode needs a codec")
         raise ValueError("not a PNG")
     i, n = 8, len(content)
@@ -318,12 +353,11 @@ def phash_of(content: bytes) -> int:
     return average_hash(decode_pixels(content))
 
 
-def pseudo_phash(content: bytes) -> str:
-    """Byte-level placeholder kept for the media_features oracle (its
-    DuckDB SQL recomputes this md5 formula): md5 over the leading bytes —
-    deterministic, stable for exact-duplicate assets, NOT
-    perception-aware. The perception-aware path is phash_of/average_hash
-    above (real, used by image_near_dups)."""
+def content_hash_of(content: bytes) -> str:
+    """Byte-level exact-duplicate hash: md5 over the leading bytes —
+    deterministic, stable for byte-identical assets, NOT perception-aware
+    (that's phash_of/average_hash above). Named honestly since round 4;
+    this used to be published under the misleading name ``phash``."""
     return hashlib.md5(content[:64]).hexdigest()[:16]
 
 
@@ -448,10 +482,18 @@ def image_near_dups(
 def media_features(refs_df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """media_ref rows → MEDIA_META rows via one Arrow pass: 'fetch' bytes
     (deterministic fake resolver — same seam as the page resolver), real
-    header decode for format/dimensions, placeholder phash.
+    header decode for format/dimensions, byte-level content_hash, and the
+    REAL perceptual phash (full pixel decode + average-hash; null when
+    the bytes are not pixel-decodable, e.g. JPEG without a wired codec).
 
     Scale: repartition upstream by xxhash64(media_ref) (dedup fetches of
     the same asset with a first-wins window, exactly like URL dedup)."""
+
+    def _phash(c: bytes) -> Optional[str]:
+        try:
+            return format(phash_of(c), "016x")
+        except (NotImplementedError, ValueError):
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -469,7 +511,8 @@ def media_features(refs_df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
                     "format": [d[0] if d else "bin" for d in decoded],
                     "width": [d[1] if d else None for d in decoded],
                     "height": [d[2] if d else None for d in decoded],
-                    "phash": [pseudo_phash(c) for c in contents],
+                    "content_hash": [content_hash_of(c) for c in contents],
+                    "phash": [_phash(c) for c in contents],
                 }
             )
 

@@ -31,6 +31,200 @@ from .schemas import PARSED
 
 _PASSTHROUGH = ["url", "host", "url_key", "round", "disc_order", "priority"]
 
+# ---------------------------------------------------------------------------
+# JVM-native fast tier (P2/P4) — the canon.py two-tier pattern applied to
+# link/span extraction. A page whose HTML full-matches the CLEAN grammar
+# below is provably extracted identically by (a) html.parser pre-order
+# events and (b) one regexp pass + a split on tag boundaries — so those
+# pages never cross the Arrow boundary into Python at all. Everything else
+# (entities, comments, script/style, uppercase tags, extra attributes,
+# single quotes, exotic whitespace, '%'-escapes in media srcs, ...) routes
+# to the exact mapInArrow path. The routing predicate is deliberately
+# conservative: any construct whose native handling is not bit-exact makes
+# the page "dirty". Equality fast≡exact is pinned by
+# tests/test_native_parse.py over the synth corpora + adversarial pages.
+#
+# Why this exists: the per-page Python parse was the one stage still paying
+# per-page Python at cluster width (BENCH/BASELINE.md r3: 0.96→1.87 ms/page
+# from 2 to 8 workers — CPython allocator traffic, not parse CPU — the
+# residual that failed the N→4N ≥0.8 scaling gate). Java regex with
+# possessive quantifiers is linear, allocation-light, and scales with
+# JVM threads.
+# ---------------------------------------------------------------------------
+
+# Segment separator / media-payload marker sentinels. Excluded from every
+# char class of the grammar, so they cannot occur in a clean page.
+_SEG = "\u0000"
+_MED = "\u0001"
+
+# Text chars: no '<' (tag start), no '&' (charref decode), no sentinels,
+# and no codepoint that Python str.isspace() strips but textnorm.BLANKS
+# does not collapse (\x1c-\x1f + non-Latin-1 unicode spaces) — their
+# presence would break blank-span-skip parity between str.strip() and the
+# native trim-after-collapse check.
+_TXT_CLASS = (
+    "[^<&\u0000\u0001\u001C-\u001F\u1680\u2000-\u200A"
+    "\u2028\u2029\u202F\u205F\u3000]"
+)
+# Attribute values: no quote/angle (attr shape), no '&' (charrefs are
+# decoded inside attribute values by html.parser), no sentinels.
+_ATTR_CLASS = '[^"<>&\u0000\u0001]'
+
+# The exact tag forms html.parser and the regex tier agree on:
+_A_TAG_RE = '<a href="' + _ATTR_CLASS + '++">'
+_A_CAPTURE_RE = '<a href="(' + _ATTR_CLASS + '++)">'
+_MEDIA_TAG_RE = '<(?:img|video|audio|source) src="(' + _ATTR_CLASS + '++)"/?+>'
+# Any other lowercase tag with NO attributes (self-closing allowed).
+# <script>/<style> are excluded — their text is suppressed by the parser;
+# the lookahead rejects exactly the tag names, so <scripts> stays clean
+# (html.parser also treats it as an ordinary tag).
+_PLAIN_TAG_RE = "</?+(?!(?:script|style)[/>])[a-z][a-z0-9]*+/?+>"
+
+# Full-document grammar. All quantifiers possessive: matching is a single
+# deterministic linear scan (each position dispatches on '<' vs text, and
+# the tag alternatives are mutually exclusive) — no backtracking blowup on
+# adversarial input; a page that fits no alternative simply fails and
+# routes to the exact tier.
+CLEAN_PAGE_RE = (
+    "\\A(?:" + _TXT_CLASS + "++|" + _A_TAG_RE + "|" + _MEDIA_TAG_RE
+    + "|" + _PLAIN_TAG_RE + ")*+\\z"
+)
+
+# One regexp_replace turns the document into sentinel-delimited segments in
+# document order: media tags become their own segment marked with _MED
+# (java.util.regex substitutes "" for the non-participating capture group
+# when the generic-tag alternative matches, leaving a bare _MED artifact
+# that span assembly drops), every other tag becomes a plain separator.
+_SEGMENT_RE = _MEDIA_TAG_RE + "|<[^>]*+>"
+_SEGMENT_SUB = _SEG + _MED + "$1" + _SEG
+
+
+def _native_parent_cols(url):
+    """Per-page columns for native media-src resolution: the scheme://host
+    prefix, and the proof that purl.parse_url(page_url) succeeds with that
+    exact scheme/host so ``prefix + trimmed_src`` equals
+    purl.normalize(page_url, src).to_string() for rooted srcs (the same
+    argument canonize_links makes for rooted hrefs, tightened to a fully
+    printable-ASCII parent: purl rejects hosts containing any of
+    _BAD_HOST_CHARS, all of which the printable-minus-specials class
+    excludes)."""
+    from pyspark.sql import functions as F
+
+    from .canon import SQL_ABS_CLEAN
+
+    pprefix = F.regexp_extract(url, r"^([a-z][a-z0-9+.\-]*://[^/?#]*)", 1)
+    parent_ok = url.rlike(SQL_ABS_CLEAN) & ~pprefix.contains("%")
+    return pprefix, parent_ok
+
+
+def clean_page_pred(url, html):
+    """Routing predicate: True ⇒ the native tier is bit-exact for this
+    (page_url, html) pair. Grammar full-match + every media src natively
+    resolvable (abs-clean verbatim, or rooted-clean against a clean
+    parent — the masks imply canon.pd_resolve's fast masks, which are
+    pinned ≡ purl.normalize)."""
+    from pyspark.sql import functions as F
+
+    from .canon import SQL_ABS_CLEAN, SQL_ROOTED_CLEAN
+
+    _, parent_ok = _native_parent_cols(url)
+
+    def _src_ok(s):
+        t = F.trim(s)
+        abs_ok = s.rlike(SQL_ABS_CLEAN) & ~s.contains("%")
+        rooted_ok = (
+            parent_ok
+            & t.rlike(SQL_ROOTED_CLEAN)
+            & ~t.startswith("//")
+            & ~t.contains("%")
+        )
+        return abs_ok | rooted_ok
+
+    return html.rlike(CLEAN_PAGE_RE) & F.forall(
+        F.regexp_extract_all(html, F.lit(_MEDIA_TAG_RE), 1), _src_ok
+    )
+
+
+def native_parse_projection(fetched):
+    """The native tier: PARSED rows computed entirely JVM-side. Callers
+    must route rows here only when ``NOT fetch-ok`` (null spans/links —
+    content-independent) or ``clean_page_pred`` holds."""
+    from pyspark.sql import functions as F
+
+    from .textnorm import normalize_text_col
+
+    url = F.col("url")
+    html = F.col("content_html")
+    ok = (
+        F.col("guard_ok")
+        & (F.col("status") == 200)
+        & html.isNotNull()
+    )
+    pprefix, _ = _native_parent_cols(url)
+
+    # links: every href in pre-order emission order (P2)
+    links = F.transform(
+        F.regexp_extract_all(html, F.lit(_A_CAPTURE_RE), 1),
+        lambda h, i: F.struct(
+            i.cast("int").alias("link_index"), h.alias("href")
+        ),
+    )
+
+    # spans (P4): tag-boundary segmentation, then T1-normalize the WHOLE
+    # segmented string in one pass (blank runs never cross the \x00
+    # sentinel, and media payloads that survive routing are printable
+    # ASCII without inner blanks, so normalization is identity on them
+    # up to the leading/trailing spaces trim() strips anyway).
+    segged = normalize_text_col(
+        F.regexp_replace(html, _SEGMENT_RE, _SEGMENT_SUB)
+    )
+    segs = F.split(segged, _SEG)
+    kept = F.filter(
+        segs,
+        lambda s: F.when(s.startswith(_MED), F.length(s) > 1).otherwise(
+            F.trim(F.translate(s, "\n", " ")) != ""
+        ),
+    )
+    spans = F.transform(
+        kept,
+        lambda s, i: F.when(
+            s.startswith(_MED),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                _resolve_media(
+                    F.substring(s, 2, F.length(s)), pprefix
+                ).alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit("text").alias("kind"),
+                s.alias("text"),
+                F.lit("").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            )
+        ),
+    )
+
+    return fetched.select(
+        *_PASSTHROUGH,
+        F.col("status").cast("int").alias("status"),
+        ok.alias("fetched_ok"),
+        F.when(ok, spans).alias("spans"),
+        F.when(ok, links).alias("links"),
+    )
+
+
+def _resolve_media(src, pprefix):
+    """U1 for a routing-approved media src: rooted srcs (the only form
+    that can carry leading spaces) resolve against the page prefix; abs
+    srcs pass through verbatim (pd_resolve abs_fast)."""
+    from pyspark.sql import functions as F
+
+    t = F.trim(src)
+    return F.when(t.startswith("/"), F.concat(pprefix, t)).otherwise(src)
+
 
 def _make_parse_batch(process_fn=None, remove_fn=None):
     """Build the mapInArrow body, closing over the optional user hooks
@@ -156,12 +350,37 @@ def _parse_batches_inner(batches, _stats, _os, _time, process_fn, remove_fn):
         yield out
 
 
-def parse_stage(fetched, process_fn=None, remove_fn=None):
+def parse_stage(fetched, process_fn=None, remove_fn=None, native=False):
     """fetched: DataFrame with frontier cols + (status, content_html,
     guard_ok) → PARSED rows (spans + links nested arrays). Optional user
     hooks: ``process_fn(url, spans)->spans`` span post-hook (ProcessFunc),
-    ``remove_fn(ch)->bool`` rune-removal pre-pass (RemoveFunc)."""
+    ``remove_fn(ch)->bool`` rune-removal pre-pass (RemoveFunc).
+
+    ``native=True`` enables the two-tier split: rows that are not
+    fetch-ok, plus fetch-ok rows whose page passes clean_page_pred, take
+    the JVM-native projection; only dirty pages cross into Python. The
+    hooks force the exact tier (they run inside the Python parse loop).
+    Callers should persist ``fetched`` before a native-split call — the
+    two tiers each scan it."""
+    from pyspark.sql import functions as F
+
     cols = _PASSTHROUGH + ["status", "content_html", "guard_ok"]
-    return fetched.select(*cols).mapInArrow(
-        _make_parse_batch(process_fn, remove_fn), PARSED
+    fetched = fetched.select(*cols)
+    if not native or process_fn is not None or remove_fn is not None:
+        return fetched.mapInArrow(
+            _make_parse_batch(process_fn, remove_fn), PARSED
+        )
+
+    ok = (
+        F.col("guard_ok")
+        & (F.col("status") == 200)
+        & F.col("content_html").isNotNull()
     )
+    needs_py = ok & ~clean_page_pred(F.col("url"), F.col("content_html"))
+    fast = native_parse_projection(
+        fetched.filter(~F.coalesce(needs_py, F.lit(False)))
+    )
+    slow = fetched.filter(needs_py).mapInArrow(
+        _make_parse_batch(None, None), PARSED
+    )
+    return fast.unionByName(slow)

@@ -189,13 +189,22 @@ def test_decode_rejects_garbage():
 def test_fake_media_bytes_is_valid_png_with_formula_dims():
     import hashlib
 
+    import numpy as np
+
     ref = "http://media.example/img/7.png"
     content = media.fake_media_bytes(ref)
     dig = hashlib.md5(ref.encode()).hexdigest()
     w = 16 + int(dig[0:2], 16) % 64
     h = 16 + int(dig[2:4], 16) % 64
     assert media.decode_image(content) == ("png", w, h)
-    assert len(content) == 121
+    # round 4: the fake bytes are a fully REAL pixel PNG — decode gives
+    # back exactly the deterministic source pixels, and the perceptual
+    # hash of the bytes equals the hash of the raw pixels (the property
+    # the media_features oracle's independent literal map relies on)
+    px = media.fake_media_pixels(ref)
+    assert px.shape == (h, w)
+    assert np.array_equal(media.decode_pixels(content), px)
+    assert media.phash_of(content) == media.average_hash(px)
 
 
 def test_decode_pixels_roundtrip_all_filter_types():
@@ -238,6 +247,37 @@ def test_decode_pixels_rgba_and_errors():
         media.decode_pixels(b"\xff\xd8" + b"\x00" * 32)
     with pytest.raises(ValueError):
         media.decode_pixels(b"\x89PNG")
+
+
+def test_jpeg_decoder_seam():
+    """The deployment seam for JPEG (media.JPEG_PIXEL_DECODER): with a
+    stub codec injected, decode_pixels/phash_of work on JPEG bytes end to
+    end; with the hook unset the path stays an honest
+    NotImplementedError. Proves a deployment can wire PIL/ffmpeg without
+    touching any other code."""
+    import numpy as np
+
+    content = media.encode_jpeg(24, 16)  # real SOF header, no entropy data
+    px = np.arange(16 * 24, dtype=np.uint8).reshape(16, 24)
+    calls = []
+
+    def stub(b):
+        calls.append(b)
+        return px
+
+    assert media.JPEG_PIXEL_DECODER is None
+    with pytest.raises(NotImplementedError):
+        media.decode_pixels(content)
+    try:
+        media.JPEG_PIXEL_DECODER = stub
+        assert np.array_equal(media.decode_pixels(content), px)
+        assert calls == [content]
+        # the full perceptual pipeline runs through the seam too
+        assert media.phash_of(content) == media.average_hash(px)
+    finally:
+        media.JPEG_PIXEL_DECODER = None
+    with pytest.raises(NotImplementedError):
+        media.decode_pixels(content)
 
 
 def test_average_hash_group_structure():
