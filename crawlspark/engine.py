@@ -536,7 +536,14 @@ class Crawler:
                 # bounded by ROUND size, never corpus size.
                 from pyspark import StorageLevel
 
-                fetched_handle = fetched.persist(StorageLevel.DISK_ONLY)
+                from .parse import mark_dirty
+
+                # routing flag computed INTO the cache: the clean-page
+                # grammar runs once per page here; the tier filters in
+                # parse_stage read the cached boolean
+                fetched_handle = mark_dirty(fetched).persist(
+                    StorageLevel.DISK_ONLY
+                )
                 fetched = fetched_handle
             parsed = parse_stage(
                 fetched,
