@@ -387,7 +387,14 @@ def hw_ceiling_corun(n: int, n4: int, reps: int = 2) -> list:
     return out
 
 
-def main_corun(pages: int, n: int, n4: int, reps: int) -> None:
+def main_corun(
+    pages: int, n: int, n4: int, reps: int, mult: int = 4,
+    out_md: str = "BENCH/BASELINE.md",
+) -> None:
+    """mult: the level multiplier (n4 = mult * n). 4 is the gate's N→4N
+    rule; 2 runs an adjacent-level pair (the monotonicity stretch —
+    e.g. (2,4) and (4,8) bracketing the (2,8) gate pair). out_md routes
+    supplementary runs away from the primary gate report."""
     # input cache must exist before two benches race to create it
     if not os.path.isdir(f"/tmp/crawlspark_bench_input_{pages}"):
         run_at(n4, pages)
@@ -395,7 +402,7 @@ def main_corun(pages: int, n: int, n4: int, reps: int) -> None:
 
     pairs = [run_pair(n, n4, pages) for _ in range(reps)]
     effs = [
-        (r4["value"] / rn["value"]) / 4 for rn, r4 in pairs
+        (r4["value"] / rn["value"]) / mult for rn, r4 in pairs
     ]
     # gate on the MEDIAN pair (ADVICE r3): the co-run design already
     # cancels ambient noise within a pair, so remaining pair-to-pair
@@ -424,7 +431,7 @@ budget; shuffle partitions = cores; AQE on; salted partitioning on;
 exact anti-join dedup on.
 
 CO-RUN pairing: the N level (local[{n}], cores
-{small[0]}-{small[-1]}) and the 4N level (local[{n4}], cores
+{small[0]}-{small[-1]}) and the {mult}N level (local[{n4}], cores
 {big[0]}-{big[-1]}) run SIMULTANEOUSLY on disjoint cpusets — the one-box
 emulation of two clusters that actually coexist. Each level's cpuset is
 2 x slots cores (JVM task threads + Python workers never exceed the
@@ -432,14 +439,14 @@ allotment), the core budget scales exactly with claimed parallelism,
 and both measurements of a pair share one time window, so the shared
 host's 2-3x co-tenant swings hit both levels together and cancel in
 the ratio (the rounds-1/2 sequential protocols compared different
-windows). When the 4N level finishes, engine-free page-parse burners
+windows). When the {mult}N level finishes, engine-free page-parse burners
 occupy its cores until the N level completes, so the N level sees a
 uniformly loaded box for its entire run — as a real N-node cluster
 would. {reps} pairs; the gate uses the MEDIAN pair (within-pair noise
 already cancels, so pair-to-pair spread is real variance — a best-pair
 gate would be biased upward; best shown alongside).
 
-| pair | local[{n}] wall (s) | local[{n4}] wall (s) | efficiency (thr4N/thrN)/4 |
+| pair | local[{n}] wall (s) | local[{n4}] wall (s) | efficiency (thr{mult}N/thrN)/{mult} |
 |---|---|---|---|
 """ + "\n".join(
         f"| {i + 1} | {pairs[i][0]['crawl_secs']} | "
@@ -451,8 +458,8 @@ Median pair: local[{n}] {rn['value']} URLs/s ({rn['crawl_secs']}s),
 local[{n4}] {rn4['value']} URLs/s ({rn4['crawl_secs']}s) over
 {rn['crawl_urls']} URLs. Best pair efficiency: {eff_best:.3f}.
 
-**Scaling efficiency (T4N throughput / TN throughput)/4 = {eff:.3f}**
-(median pair; target >= 0.8): raw gate
+**Scaling efficiency (T{mult}N throughput / TN throughput)/{mult} =
+{eff:.3f}** (median pair; target >= 0.8): raw gate
 {"MET" if eff >= 0.8 else "NOT met"}.
 
 Hardware ceiling under the IDENTICAL co-run condition (the engine's real
@@ -474,11 +481,12 @@ ambient drift folded in; the co-run pairing is strictly cleaner
 evidence for the same rule.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, out_md), "w") as f:
         f.write(md)
     print(md)
     print(json.dumps({
         "protocol": "corun",
+        "levels": [n, n4],
         "efficiency": round(eff, 3),
         "efficiency_best": round(eff_best, 3),
         "efficiencies": [round(e, 3) for e in effs],
@@ -492,10 +500,12 @@ evidence for the same rule.
 def main():
     pages = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "40000"))
     n = int(os.environ.get("CRAWLSPARK_SCALE_N", "4"))
-    n4 = 4 * n
+    mult = int(os.environ.get("CRAWLSPARK_SCALE_MULT", "4"))
+    n4 = mult * n
     reps = int(os.environ.get("CRAWLSPARK_SCALE_REPS", "3"))
+    out_md = os.environ.get("CRAWLSPARK_SCALE_OUT", "BENCH/BASELINE.md")
     if CORUN and _coresets_corun(n, n4) is not None:
-        main_corun(pages, n, n4, reps)
+        main_corun(pages, n, n4, reps, mult, out_md)
         return
 
     # interleaved repetitions, best-of: the sandbox host shows 25-50%
