@@ -78,5 +78,23 @@ out.append("## 5. Native expressions stay in WholeStageCodegen (F1 + T1)\n\n"
            "the hot path for natively-expressible operators.\n\n```\n"
            + cap(nat) + "```\n")
 
+# 6. two-tier parse routing (P2/P4, round 4)
+from crawlspark.parse import mark_dirty, parse_stage
+fetched = (spark.read.parquet("/tmp/plans_pages")
+           .select("url", "host", "url_key",
+                   F.lit(0).alias("round"),
+                   F.monotonically_increasing_id().alias("disc_order"),
+                   F.lit(0.0).alias("priority"),
+                   "status", "content_html", F.lit(True).alias("guard_ok")))
+parsed = parse_stage(mark_dirty(fetched), native=True)
+out.append("## 6. Two-tier parse routing (P2/P4, round 4)\n\n"
+           "Required: the clean-page branch is pure JVM Project/Filter (no\n"
+           "Python evaluator anywhere in that subtree — links via\n"
+           "regexp_extract_all, spans via regexp_replace+split+transform);\n"
+           "exactly ONE MapInArrow node exists, fed only by the dirty-page\n"
+           "filter; the routing flag `_parse_dirty` is read from the cached\n"
+           "round batch, not recomputed per tier.\n\n```\n"
+           + cap(parsed) + "```\n")
+
 open("/root/repo/docs/PLANS.md", "w").write("\n".join(out))
 print("written docs/PLANS.md")
