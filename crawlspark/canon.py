@@ -270,44 +270,51 @@ def _sql_mk_key(pcol, qcol):
     return F.when(qcol != "", F.concat(k, F.lit("?"), qcol)).otherwise(k)
 
 
-def canonize_links(df, href_col, udf, native: bool = True):
-    """Derive (url, host, url_key) for candidate links.
+# private precomputed parent columns the engine may hoist above the link
+# explode (one evaluation per page instead of per link); consumed by
+# canonize_links_prepared and never leaked into any output schema
+_PRECOMP = ("_pprefix", "_phost", "_parent_ok")
+# private columns of the prepared projection (canonize_links_prepared)
+_PREPARED = ("_cn", "url", "host", "url_key", "_cp", "_cf")
+
+
+def canonize_links_prepared(df, href_col):
+    """ONE-PASS canonicalization projection for candidate links.
+
+    Returns the passthrough columns plus:
+      ``_cn``       routing flag — True where the href is fully resolved
+                    JVM-side (clean absolute or clean root-relative form)
+      ``url``/``host``/``url_key``  the native outputs (NULL on _cn=False
+                    rows: the exact pandas UDF resolves those later)
+      ``_cp``/``_cf``  parent_url / raw href, kept ONLY on _cn=False rows
+                    (NULL otherwise, so a cache of this projection stays
+                    narrow — clean rows never store their parent twice)
 
     Scale design: the overwhelmingly common case on a real web graph —
-    an absolute, already-canonical href with a dot-segment-free path —
-    is computed ENTIRELY JVM-side (regexp extract/replace inside
-    whole-stage codegen). Only the hard rows (relative hrefs, dot
-    segments, odd schemes/escaping) take the Arrow round-trip through the
-    exact pandas UDF. Both branches implement the same golden contract
-    (purl.normalize/normalize_key); the split is a pure optimization.
+    an absolute, already-canonical href with a dot-segment-free path, or
+    a clean root-relative href — is computed ENTIRELY JVM-side. The whole
+    mask battery and all value expressions are evaluated in this SINGLE
+    projection, so a caller that persists the result pays the regex/byte
+    ops exactly ONCE per link; canonize_links_split's two branches are
+    then plain flag filters over the cache. (The previous shape — a union
+    of two FILTERED-then-projected branches straight off the exploded
+    links — re-evaluated the mask towers per branch and per output column
+    across the filter/project boundary; the round-4 event logs showed
+    that stage as the largest of the crawl at 10^6-page scale, and the
+    micro-bench measured the one-pass cached shape ~4x faster at 19.35M
+    links: 27.8s vs 106.2s for materialize+agg on local[32].)
 
-    ``df`` must carry ``parent_url`` plus passthrough columns; returns the
-    passthrough columns + (url, host, url_key) with ``href_col`` consumed.
+    ``df`` must carry ``parent_url`` (+ optionally the _PRECOMP hoisted
+    parent columns) plus passthrough columns; ``href_col`` is consumed.
     """
     from pyspark.sql import functions as F
 
-    # private precomputed parent columns (_pprefix/_phost/_parent_ok) are
-    # consumed here and must never leak into the output schema — on ANY
-    # path, including native=False (ADVICE r3: the passthrough list used
-    # to keep them on the non-native path)
-    _PRECOMP = ("_pprefix", "_phost", "_parent_ok")
     passthrough = [
         c
         for c in df.columns
         if c not in ("parent_url", href_col) and c not in _PRECOMP
     ]
     href = F.col(href_col)
-
-    if not native:
-        return df.select(
-            *passthrough,
-            udf(F.col("parent_url"), href).alias("c"),
-        ).select(
-            *passthrough,
-            F.col("c.url").alias("url"),
-            F.col("c.host").alias("host"),
-            F.col("c.url_key").alias("url_key"),
-        )
 
     # fragment is kept in the URL but never in the key (url.go:52-72).
     # Everything below the two fused rlike masks is UTF8String byte ops:
@@ -386,30 +393,97 @@ def canonize_links(df, href_col, udf, native: bool = True):
         is_rootrel, F.lit(False)
     )
 
-    # one native branch, CASE on the (cheaper) absolute mask inside — the
-    # mask battery is the dominant JVM CPU of the candidate pipeline, so
-    # the plan evaluates it for two filters (native / slow) instead of
-    # three
-    fast_out = df.filter(native_any).select(
+    # value columns use when(abs).when(rootrel) with NO otherwise, so
+    # non-native rows store NULLs (never the unguarded garbage the
+    # absolute-authority split produces on relative hrefs)
+    return df.select(
         *passthrough,
+        native_any.alias("_cn"),
         F.when(is_native, href)
-        .otherwise(F.concat(pprefix, trimmed))
+        .when(is_rootrel, F.concat(pprefix, trimmed))
         .alias("url"),
-        F.when(is_native, host_abs).otherwise(phost).alias("host"),
+        F.when(is_native, host_abs).when(is_rootrel, phost).alias("host"),
         F.when(is_native, _sql_mk_key(path, query))
-        .otherwise(_sql_mk_key(rr_path, rr_query))
+        .when(is_rootrel, _sql_mk_key(rr_path, rr_query))
         .alias("url_key"),
+        F.when(~native_any, F.col("parent_url")).alias("_cp"),
+        F.when(~native_any, href).alias("_cf"),
     )
-    slow_out = df.filter(~native_any).select(
+
+
+def canonize_links_split(pre, udf):
+    """(fast, slow) sides over a canonize_links_prepared projection.
+
+    ``fast`` = the _cn rows with their precomputed (url, host, url_key);
+    ``slow`` = the ~_cn rows resolved by the exact pandas UDF. Both carry
+    passthrough + (url, host, url_key) in identical order; their
+    unionByName is the full candidate set. When ``pre`` is persisted,
+    each side is a plain flag filter over the cache — no mask tower, no
+    regex re-evaluation."""
+    from pyspark.sql import functions as F
+
+    passthrough = [c for c in pre.columns if c not in _PREPARED]
+    fast = pre.filter(F.col("_cn")).select(
+        *passthrough, "url", "host", "url_key"
+    )
+    slow = pre.filter(~F.col("_cn")).select(
         *passthrough,
-        udf(F.col("parent_url"), href).alias("c"),
+        udf(F.col("_cp"), F.col("_cf")).alias("c"),
     ).select(
         *passthrough,
         F.col("c.url").alias("url"),
         F.col("c.host").alias("host"),
         F.col("c.url_key").alias("url_key"),
     )
-    return fast_out.unionByName(slow_out)
+    return fast, slow
+
+
+def canonize_links(df, href_col, udf, native: bool = True):
+    """Derive (url, host, url_key) for candidate links.
+
+    Scale design: the overwhelmingly common case on a real web graph —
+    an absolute, already-canonical href with a dot-segment-free path —
+    is computed ENTIRELY JVM-side (regexp extract/replace inside
+    whole-stage codegen). Only the hard rows (relative hrefs, dot
+    segments, odd schemes/escaping) take the Arrow round-trip through the
+    exact pandas UDF. Both branches implement the same golden contract
+    (purl.normalize/normalize_key); the split is a pure optimization.
+
+    Composition of canonize_links_prepared + canonize_links_split; heavy
+    callers (the engine's per-round candidate pipeline) should persist
+    the prepared projection between the two so the mask battery runs
+    once per link — this convenience wrapper leaves the plan uncached
+    (correct, but catalyst collapses the projection into both union
+    branches).
+
+    ``df`` must carry ``parent_url`` plus passthrough columns; returns the
+    passthrough columns + (url, host, url_key) with ``href_col`` consumed.
+    """
+    from pyspark.sql import functions as F
+
+    if not native:
+        # _PRECOMP columns are consumed here and must never leak into the
+        # output schema — on ANY path, including native=False (ADVICE r3:
+        # the passthrough list used to keep them on the non-native path)
+        passthrough = [
+            c
+            for c in df.columns
+            if c not in ("parent_url", href_col) and c not in _PRECOMP
+        ]
+        return df.select(
+            *passthrough,
+            udf(F.col("parent_url"), F.col(href_col)).alias("c"),
+        ).select(
+            *passthrough,
+            F.col("c.url").alias("url"),
+            F.col("c.host").alias("host"),
+            F.col("c.url_key").alias("url_key"),
+        )
+
+    fast, slow = canonize_links_split(
+        canonize_links_prepared(df, href_col), udf
+    )
+    return fast.unionByName(slow)
 
 
 def canonize_urls(df, url_col, url_key_udf):

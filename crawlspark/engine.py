@@ -625,16 +625,34 @@ class Crawler:
                     F.col("l.link_index").alias("link_index"),
                     F.col("l.href").alias("href"),
                 )
-                # canonicalization: JVM-native for the common absolute-href
-                # case, exact fused pandas UDF for the rest (canon.py).
-                # The persist is a deliberate optimizer barrier: without it,
-                # filter pushdown clones the UDF into the Filter and the
-                # pipeline pays ~3x the Python CPU (measured). Downstream
-                # filters/windows read the cache.
-                cands_raw = canon.canonize_links(
-                    links, "href", self.udfs["canonize"]
+                # canonicalization: JVM-native for the common absolute/
+                # root-relative case, exact fused pandas UDF for the rest
+                # (canon.py). The persist sits on the ONE-PASS prepared
+                # projection, BELOW the fast/slow union: the mask battery
+                # and all native value expressions run exactly once per
+                # link when the fused agg below materializes the cache
+                # (the previous union-of-filtered-branches shape
+                # re-evaluated the mask towers per branch and per output
+                # column — the round-4 event logs showed it as the
+                # largest stage of the crawl; the one-pass cached shape
+                # measured ~4x faster at 19.35M links). The persist is
+                # also the optimizer barrier that keeps filter pushdown
+                # from cloning the UDF into a Filter (~3x Python CPU,
+                # measured in round 2).
+                cands_pre = canon.canonize_links_prepared(
+                    links, "href"
                 ).persist(_cands_storage_level())
-                round_handles.append(cands_raw)
+                round_handles.append(cands_pre)
+                cands_fast, cands_slow = canon.canonize_links_split(
+                    cands_pre, self.udfs["canonize"]
+                )
+                # the slow (dirty-href) side is persisted POST-UDF so the
+                # exact resolver runs once per dirty link, not once per
+                # consumer (the fused agg materializes it; the dedup scan
+                # reads both caches) — tiny by the two-tier premise
+                cands_slow = cands_slow.persist(_cands_storage_level())
+                round_handles.append(cands_slow)
+                cands_raw = cands_fast.unionByName(cands_slow)
 
                 resolved_ok = (
                     F.col("url").isNotNull() & F.col("url_key").isNotNull()

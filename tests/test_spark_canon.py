@@ -152,6 +152,62 @@ def test_native_canonize_precomputed_parent_cols(spark):
     assert got_pre == got_inline == got_udf == got_pre_udf
 
 
+def test_prepared_split_cached_matches_udf(spark):
+    """The engine's round-4 shape — canonize_links_prepared PERSISTED,
+    then canonize_links_split's union over the cache — must produce the
+    same row set as the exact pandas-UDF path over every href shape, the
+    prepared projection must store NULL url/host/url_key and the raw
+    (parent_url, href) pair exactly on the non-native rows, and no
+    private column (_cn/_cp/_cf or the hoisted _p*) may leak into the
+    union's output schema."""
+    from tests.test_canon_vectorized import HREFS, PARENTS
+
+    udfs = canon.register_udfs()
+    rows = []
+    i = 0
+    for p in PARENTS:
+        for h in HREFS:
+            rows.append((p, i, h))
+            i += 1
+    for j in range(200):
+        rows.append((PARENTS[0], i, f"http://h{j % 7}.example/p/{j}?x={j}#f{j}"))
+        i += 1
+    df = spark.createDataFrame(rows, "parent_url string, rid long, href string")
+
+    pre = canon.canonize_links_prepared(df, "href").persist()
+    try:
+        # the prepared projection's invariants
+        for r in pre.collect():
+            if r["_cn"]:
+                assert r["url"] is not None and r["url_key"] is not None
+                assert r["_cp"] is None and r["_cf"] is None
+            else:
+                assert r["url"] is None and r["host"] is None
+                assert r["url_key"] is None
+                assert r["_cp"] is not None  # parent_url is never null here
+
+        fast, slow = canon.canonize_links_split(pre, udfs["canonize"])
+        out = fast.unionByName(slow)
+        assert set(out.columns) == {"rid", "url", "host", "url_key"}
+        got = {
+            r["rid"]: (r["url"], r["host"], r["url_key"])
+            for r in out.collect()
+        }
+        want = {
+            r["rid"]: (r["url"], r["host"], r["url_key"])
+            for r in canon.canonize_links(
+                df, "href", udfs["canonize"], native=False
+            ).collect()
+        }
+        assert got == want
+        # both tiers genuinely exercised on this corpus
+        n_fast = fast.count()
+        assert n_fast >= 200
+        assert slow.count() == len(rows) - n_fast > 0
+    finally:
+        pre.unpersist()
+
+
 def test_parquet_scan_pushdown(spark, tmp_path):
     """Filter + projection must reach the parquet scan (the 100 TB
     contract: a scan reading all columns for a 2-column projection is
