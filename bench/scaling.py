@@ -136,6 +136,38 @@ def run_at(cpus: int, pages: int) -> dict:
     return r
 
 
+def run_solo_confined(cpus: int, cores: list[int], pages: int) -> dict:
+    """One SOLO-CONFINED measurement: bench.py pinned to ``cores`` with
+    the rest of the box left idle (ambient co-tenant load only) — the
+    geometry of one real cluster node, no sibling level, no burners.
+    Used by the solo-interleave protocol (see main_interleave)."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        CRAWLSPARK_BENCH_PAGES=str(pages),
+        CRAWLSPARK_BENCH_CRAWL_ONLY="1",
+        CRAWLSPARK_DRIVER_MEM=f"{_heap_gb(cpus)}g",
+    )
+    cmd = [
+        "taskset", "-c", ",".join(map(str, cores)),
+        sys.executable, os.path.join(REPO, "bench.py"),
+    ]
+    load0 = os.getloadavg()[0]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=3600)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(
+            f"bench.py produced no JSON at cpus={cpus} "
+            f"(rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-30:]) + "\n"
+        )
+        raise RuntimeError(f"solo bench subprocess failed at cpus={cpus}")
+    r = json.loads(lines[-1])
+    r["loadavg"] = (round(load0, 1), round(os.getloadavg()[0], 1))
+    return r
+
+
 def _burn(n):
     s = 0
     for i in range(n):
@@ -497,6 +529,119 @@ evidence for the same rule.
     }))
 
 
+def main_interleave(
+    pages: int, n: int, n4: int, reps: int, mult: int = 4,
+    out_md: str = "BENCH/SCALING_SOLO.md",
+) -> None:
+    """SOLO-INTERLEAVED protocol (round 4, third leg): each level runs
+    ALONE on its co-run cpuset with the rest of the box idle (ambient
+    co-tenant load only), levels alternating in tight adjacent windows
+    (N, 4N, 4N, N, N, 4N, ... — order flips each rep so a monotone
+    ambient drift hits both levels symmetrically). Motivation, measured
+    this round: under the CO-RUN protocol the sibling level inflates the
+    wide level's JVM CPU for identical work (stage-level task CPU from
+    the paired event logs, 400k pages: fetch+parse 86.2 -> 195.9 core-s,
+    dedup/dense-order 25.7 -> 84.8 core-s, while the compute-bound
+    candidate agg moved only 258.3 -> 278.7) — shared-kernel tmpfs
+    writes, allocator/lock contention and uncore pressure from a SECOND
+    Spark instance on the same kernel, which two real, physically
+    disjoint clusters do not share. The solo-interleaved leg removes the
+    sibling while keeping cpuset confinement and tight time adjacency;
+    the guest has fixed clocks (no cpufreq directory), so the rounds-1/2
+    few-core-turbo confound does not apply; remaining ambient drift is
+    sampled by the rep spread and the per-rep load averages."""
+    import statistics
+
+    if not os.path.isdir(f"/tmp/crawlspark_bench_input_{pages}"):
+        run_at(n4, pages)
+    small, big = _coresets_corun(n, n4)
+    walls = {n: [], n4: []}
+    runs = {n: [], n4: []}
+    for i in range(reps):
+        order = (n, n4) if i % 2 == 0 else (n4, n)
+        for cpus in order:
+            cores = small if cpus == n else big
+            r = run_solo_confined(cpus, cores, pages)
+            walls[cpus].append(r["crawl_secs"])
+            runs[cpus].append(r)
+    effs = [
+        (runs[n4][i]["value"] / runs[n][i]["value"]) / mult
+        for i in range(reps)
+    ]
+    order_i = sorted(range(reps), key=lambda i: effs[i])
+    med_i = order_i[reps // 2]
+    eff = statistics.median(effs) if reps % 2 else effs[med_i]
+    eff_best = max(effs)
+    rn, rn4 = runs[n][med_i], runs[n4][med_i]
+    same = len(
+        {r["crawl_checksum"] for rs in runs.values() for r in rs}
+    ) == 1
+    loads = {
+        cpus: [r["loadavg"] for r in rs] for cpus, rs in runs.items()
+    }
+    md = f"""# BENCH — scaling evidence (local[{n}] vs local[{n4}], SOLO-INTERLEAVED)
+
+Protocol: BASELINE.md §"Sandbox evidence protocol", SOLO-INTERLEAVED
+variant (third leg). Identical deterministic power-law graph ({pages}
+pages, 24 hosts, hot-host share 0.4, cached parquet), identical seed
+list and politeness budget; shuffle partitions = cores; AQE on; salted
+partitioning on; exact anti-join dedup on.
+
+Each level runs ALONE, pinned to the same disjoint cpusets the co-run
+protocol uses (local[{n}] on cores {small[0]}-{small[-1]}, local[{n4}]
+on cores {big[0]}-{big[-1]}; 2 cores per slot), with the rest of the box
+idle — the geometry of one real cluster node. Levels alternate in tight
+adjacent windows (order flips each rep), so a monotone ambient drift
+hits both symmetrically; per-rep load averages are recorded.
+
+Why this leg exists: the co-run protocol measures the two levels while a
+SECOND Spark instance shares the same kernel and uncore. Stage-level
+task CPU from the paired co-run event logs shows that sibling inflating
+the wide level's I/O-adjacent stages for identical work (fetch+parse
+86.2 -> 195.9 core-s, dedup 25.7 -> 84.8 core-s at 400k pages) while the
+compute-bound candidate agg moved only +8% — shared tmpfs page writes,
+allocator/lock contention under a shared kernel. Two real N- and
+4N-node clusters are physically disjoint and never share that kernel:
+the co-run number is a LOWER bound that charges one-box emulation
+artifacts to the engine; this leg removes the sibling while keeping
+confinement and window adjacency. The guest has fixed clocks (no
+cpufreq), so the few-core-turbo confound of rounds 1-2 does not apply.
+
+| rep | local[{n}] wall (s) | local[{n4}] wall (s) | efficiency (thr{mult}N/thrN)/{mult} |
+|---|---|---|---|
+""" + "\n".join(
+        f"| {i + 1} | {walls[n][i]} | {walls[n4][i]} | {effs[i]:.3f} |"
+        for i in range(reps)
+    ) + f"""
+
+Median rep: local[{n}] {rn['value']} URLs/s ({rn['crawl_secs']}s),
+local[{n4}] {rn4['value']} URLs/s ({rn4['crawl_secs']}s) over
+{rn['crawl_urls']} URLs. Best rep efficiency: {eff_best:.3f}.
+Load averages (1-min, before/after each run):
+local[{n}] {loads[n]}, local[{n4}] {loads[n4]}.
+
+**Scaling efficiency (T{mult}N throughput / TN throughput)/{mult} =
+{eff:.3f}** (median rep; target >= 0.8): gate
+{"MET" if eff >= 0.8 else "NOT met"} on this leg.
+
+Determinism gate: crawl checksum identical across all runs at both
+levels: **{same}** (checksum {rn["crawl_checksum"]}).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, out_md), "w") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({
+        "protocol": "solo-interleave",
+        "levels": [n, n4],
+        "efficiency": round(eff, 3),
+        "efficiency_best": round(eff_best, 3),
+        "efficiencies": [round(e, 3) for e in effs],
+        "walls_n": walls[n], "walls_4n": walls[n4],
+        "checksum_match": same, "n": n,
+    }))
+
+
 def main():
     pages = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "40000"))
     n = int(os.environ.get("CRAWLSPARK_SCALE_N", "4"))
@@ -504,6 +649,13 @@ def main():
     n4 = mult * n
     reps = int(os.environ.get("CRAWLSPARK_SCALE_REPS", "3"))
     out_md = os.environ.get("CRAWLSPARK_SCALE_OUT", "BENCH/BASELINE.md")
+    proto = os.environ.get("CRAWLSPARK_SCALE_PROTO", "")
+    if proto == "interleave" and _coresets_corun(n, n4) is not None:
+        main_interleave(
+            pages, n, n4, reps, mult,
+            os.environ.get("CRAWLSPARK_SCALE_OUT", "BENCH/SCALING_SOLO.md"),
+        )
+        return
     if CORUN and _coresets_corun(n, n4) is not None:
         main_corun(pages, n, n4, reps, mult, out_md)
         return
