@@ -61,6 +61,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_mem)
+        # Protect cached blocks from execution-memory eviction. The crawl
+        # round persists bounded per-round sets (parsed, candidate links,
+        # deduped frontier) that every later job in the round re-reads; at
+        # high task concurrency the round's sorts/joins/write buffers
+        # otherwise borrow storage memory and evict those blocks, and each
+        # MEMORY_AND_DISK eviction pays a serialize+write (plus deserialize
+        # on re-read) — measured as ~3x JVM-CPU inflation of the two widest
+        # stages at local[8] vs local[2] on the 400k-page bench (docs-write
+        # stage 95.8 -> 261.4 core-s, dedup-counts stage 27.8 -> 86.7) with
+        # identical checksums. storageFraction=0.7 (default 0.5) makes
+        # execution spill instead (sequential, cheaper, bounded): the same
+        # stages drop back to parity (92.9 / 33.3 core-s) and the local[8]
+        # crawl wall falls 161.6 -> 143.3 s. On a real cluster the same
+        # posture holds: the round caches are the hot asset; executor
+        # spill is the safety valve.
+        .config("spark.memory.storageFraction", "0.7")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size for every Python boundary (parse mapInArrow,
