@@ -414,10 +414,16 @@ class Crawler:
         if res.fresh is None:
             return 0, False
         frontier = res.fresh.withColumn("round", F.lit(0))
-        self.store.append("frontier", frontier, 0)
-        tick("seed frontier write")
-        self._append_seen(res.fresh, 0)
-        tick("seed seen write")
+        # the three seed sinks (frontier snapshot, seen append, bloom
+        # build) all read the dense-order cache the counts job above
+        # already materialized — independent jobs, submitted concurrently
+        # like the round tail (each was a fixed ~1-2s of job-submission +
+        # commit latency on the seed critical path: pure Amdahl S for the
+        # N→4N scaling gate)
+        init_jobs = [
+            lambda: self.store.append("frontier", frontier, 0),
+            lambda: self._append_seen(res.fresh, 0),
+        ]
         if self.cfg.use_bloom:
             from . import bloom as bloom_mod
 
@@ -425,14 +431,17 @@ class Crawler:
                 buckets=self.cfg.bloom_buckets,
                 bits_per_bucket=self.cfg.bloom_bits,
             )
-            self.store.append(
-                "bloom",
-                bloom_mod.build_or_update(
-                    res.fresh.select("seen_key"), "seen_key", None, bcfg
-                ),
-                0,
+            init_jobs.append(
+                lambda: self.store.append(
+                    "bloom",
+                    bloom_mod.build_or_update(
+                        res.fresh.select("seen_key"), "seen_key", None, bcfg
+                    ),
+                    0,
+                )
             )
-            tick("seed bloom build")
+        _parallel_jobs(*init_jobs)
+        tick("seed sinks (concurrent)")
         res.unpersist()
         return res.pushed_end, res.limit_reached
 

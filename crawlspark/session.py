@@ -77,6 +77,19 @@ def get_spark(
         # posture holds: the round caches are the hot asset; executor
         # spill is the safety valve.
         .config("spark.memory.storageFraction", "0.7")
+        # v2 file-output commit: task files move straight into the final
+        # directory at task commit, so job commit is O(1) instead of a
+        # serial driver-side rename of every task's output — each round
+        # runs ~8 append jobs and the per-job commit latency is a fixed,
+        # level-independent term (Amdahl S of the N→4N scaling gate). A
+        # crash mid-job can leave partial files, but every store append is
+        # round-versioned into its own batch dir and resume truncates any
+        # batch beyond the committed state (storage.py), so the engine's
+        # crash contract does not rely on commit atomicity.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size for every Python boundary (parse mapInArrow,
