@@ -20,6 +20,7 @@ def main(path: str) -> None:
     # stage's StageCompleted event in the log
     task_time = {}  # sid -> sec
     gc_time = {}  # sid -> sec
+    desc = {}  # stage id -> job description (engine labels its sinks)
     app_start = app_end = None
     with open(path) as f:
         for line in f:
@@ -32,11 +33,19 @@ def main(path: str) -> None:
                 app_start = ev["Timestamp"]
             elif e == "SparkListenerApplicationEnd":
                 app_end = ev["Timestamp"]
+            elif e == "SparkListenerJobStart":
+                d = (ev.get("Properties") or {}).get("spark.job.description")
+                if d:
+                    for s in ev.get("Stage Infos", []):
+                        desc[s["Stage ID"]] = d
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
                 sid = (si["Stage ID"], si["Stage Attempt ID"])
+                label = desc.get(
+                    si["Stage ID"], si["Stage Name"].split("\n")[0]
+                )
                 stages[sid] = {
-                    "name": si["Stage Name"].split("\n")[0][:70],
+                    "name": label[:70],
                     "start": si.get("Submission Time"),
                     "end": si.get("Completion Time"),
                     "tasks": si.get("Number of Tasks"),

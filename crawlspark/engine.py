@@ -714,6 +714,9 @@ class Crawler:
                 # the reference has a single ErrDuplicateURL). parsed is
                 # already cached (documents write); this job materializes
                 # the cands_raw cache.
+                self.spark.sparkContext.setJobDescription(
+                    f"fused-agg r{r}"
+                )
                 row = (
                     parsed.agg(
                         F.count("*").alias("n"),
@@ -759,6 +762,7 @@ class Crawler:
                     )
                     .collect()[0]
                 )
+                self.spark.sparkContext.setJobDescription(None)
                 n_sched, n_ok = row["n"], int(row["ok"] or 0)
                 lin = row
                 tick(f"fused stats+lineage agg sched={n_sched}")

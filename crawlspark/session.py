@@ -47,12 +47,25 @@ def get_spark(
     gc_threads = int(
         os.environ.get("CRAWLSPARK_GC_THREADS", min(8, max(4, cores // 2)))
     )
+    # Heap posture, from paired GC logs on the 400k-page crawl (r4):
+    # - -Xms == -Xmx: without it the heap grows 5.5G -> 14.8G across
+    #   round 0 while 8+ tasks allocate concurrently; G1 runs undersized
+    #   young collections the whole way (1.2-5.3 s pauses, GCLocker
+    #   stalls) and the first round's stages inflate 7-10x in task CPU.
+    #   Pre-committing the heap removed the round-0 churn deterministically.
+    # - 32 MiB G1 regions: the default 4 MiB region (15g heap) makes every
+    #   ~5 MiB Arrow batch a humongous allocation; one crawl logged 14
+    #   humongous-triggered concurrent-start GCs. 32 MiB regions lift the
+    #   humongous threshold to 16 MiB -> zero humongous GCs, max pause
+    #   5.3 s -> 2.3 s. (ParallelGC control: 117 s total pause, rejected.)
+    xms = driver_mem
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:ParallelGCThreads={gc_threads} "
+            f"-XX:ParallelGCThreads={gc_threads} -Xms{xms} "
+            "-XX:G1HeapRegionSize=32m "
             + os.environ.get("CRAWLSPARK_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -63,7 +63,15 @@ class CheckpointStore:
             # realization of Iceberg's bucket(key_hash) spec): readers
             # filtering on the partition column get directory pruning
             w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        # label the write's stages in the event log (job descriptions are
+        # thread-local, so concurrent sink threads don't clobber each
+        # other) — keeps scaling diagnostics attributable to a sink
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"append:{table} b{batch}")
+        try:
+            w.parquet(path)
+        finally:
+            sc.setJobDescription(None)
 
     def read(self, table: str) -> Optional[DataFrame]:
         path = self._table_path(table)
