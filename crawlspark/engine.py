@@ -313,6 +313,15 @@ class Crawler:
                 "kbucket",
                 F.pmod(F.col("key_hash"), F.lit(self.cfg.seen_buckets)),
             )
+            # hash-repartition on the bucket BEFORE the partitionBy write:
+            # without it every write task opens a dynamic-partition writer
+            # per bucket it sees (tasks x buckets small files + per-task
+            # writer state — measured 3x task-time inflation of the seen
+            # append at local[8] vs local[2]); with it each bucket dir
+            # gets exactly one file per round from exactly one task
+            rows = rows.repartition(
+                min(self.cfg.seen_buckets, self.P), F.col("kbucket")
+            )
             self.store.append("seen", rows, batch, partition_by=["kbucket"])
         else:
             self.store.append("seen", rows, batch)

@@ -40,12 +40,18 @@ def get_spark(
         shuffle_partitions = cores
     driver_mem = os.environ.get("CRAWLSPARK_DRIVER_MEM", driver_mem)
     # GC capacity must scale with the level's core allotment the way a
-    # real node's does: 2 GC threads at local[4] vs 8 at local[16] was a
-    # measured 73s-of-GC asymmetry in one 230s stage (the N level paying
-    # long pauses the 4N level never saw — a protocol confound, not
-    # engine behavior)
+    # real node's does (a 4N-node cluster brings 4x the GC threads).
+    # The old formula (min(8, max(4, cores//2))) clamped local[2] AND
+    # local[8] to the same 4 threads — the wide level got 1/4 the GC
+    # capacity per allocating task thread, so every stop-the-world pause
+    # (which stalls ALL task threads) ran un-sped-up at width: paired
+    # solo runs on the 400k-page crawl measured 122 task-GC-s at
+    # local[8] vs 24 at local[2] (same ~12-15 s pause WALL, but a pause
+    # at 8 slots wastes 4x the core-seconds — a level-independent Amdahl
+    # term charged to the scaling gate). 2 threads per slot = the
+    # cpuset/core budget the level owns.
     gc_threads = int(
-        os.environ.get("CRAWLSPARK_GC_THREADS", min(8, max(4, cores // 2)))
+        os.environ.get("CRAWLSPARK_GC_THREADS", max(2, min(2 * cores, 16)))
     )
     # Heap posture, from paired GC logs on the 400k-page crawl (r4):
     # - -Xms == -Xmx: without it the heap grows 5.5G -> 14.8G across
@@ -58,6 +64,12 @@ def get_spark(
     #   humongous-triggered concurrent-start GCs. 32 MiB regions lift the
     #   humongous threshold to 16 MiB -> zero humongous GCs, max pause
     #   5.3 s -> 2.3 s. (ParallelGC control: 117 s total pause, rejected.)
+    # - young-gen floor + relaxed pause target: the parse/canonize tiers
+    #   allocate GBs of short-lived UTF8Strings per round; G1's default
+    #   200 ms pause target shrinks young to its 5% floor and collects
+    #   constantly (each collection a full task-thread stall). A 20%
+    #   young floor + 1 s target quarters the pause count: local[8]
+    #   400k-page crawl 144.3 s -> 134.2 s, identical checksum.
     xms = driver_mem
     b = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -65,7 +77,8 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions",
             f"-XX:ParallelGCThreads={gc_threads} -Xms{xms} "
-            "-XX:G1HeapRegionSize=32m "
+            "-XX:G1HeapRegionSize=32m -XX:MaxGCPauseMillis=1000 "
+            "-XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=20 "
             + os.environ.get("CRAWLSPARK_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
