@@ -168,6 +168,57 @@ def run_solo_confined(cpus: int, cores: list[int], pages: int) -> dict:
     return r
 
 
+def jvm_ceiling_solo(
+    n: int, n4: int, rows_per_task: int = 500_000, reps: int = 2,
+) -> list:
+    """Matched-workload ceiling for the SOLO-INTERLEAVED leg: the crawl's
+    widest stage (DISK_ONLY tmpfs cache scan -> JVM regex extraction ->
+    parquet write, bench/probe_jvm.py) run engine-free with EQUAL WORK
+    PER TASK at both levels (rows = rows_per_task x cores, so perfect
+    multi-node scaling gives equal walls; ratio T_small/T_big is the
+    box's own ceiling for this workload class). Levels run solo-confined
+    on the leg's cpusets, interleaved. The page-parse ceiling probe
+    (0.95-1.0) runs in isolated per-process Python heaps and misses
+    everything JVM/kernel-shared — heap allocation, tmpfs page ops,
+    parquet buffers, shared-LLC/DRAM streaming — which this probe pays
+    exactly as the engine does. Equal work per TASK (not a fixed total)
+    matters: a fixed-total probe gives the small level tasks several
+    times larger, whose parquet row-group buffering dominates and
+    inverts the comparison."""
+    small, big = _coresets_corun(n, n4)
+    out = []
+    for i in range(reps):
+        walls = {}
+        order = ((n, small), (n4, big))
+        if i % 2:
+            order = ((n4, big), (n, small))
+        for cpus, cores in order:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                CRAWLSPARK_PROBE_ROWS=str(rows_per_task * cpus),
+                CRAWLSPARK_DRIVER_MEM=f"{_heap_gb(cpus)}g",
+            )
+            cmd = [
+                "taskset", "-c", ",".join(map(str, cores)),
+                sys.executable,
+                os.path.join(REPO, "bench", "probe_jvm.py"),
+            ]
+            r = subprocess.run(cmd, env=env, capture_output=True,
+                               text=True, timeout=1800)
+            lines = [
+                l for l in r.stdout.strip().splitlines()
+                if l.startswith("{")
+            ]
+            if not lines:
+                raise RuntimeError(
+                    f"jvm ceiling probe failed at cpus={cpus}"
+                )
+            walls[cpus] = json.loads(lines[-1])["secs"]
+        out.append(walls[n] / walls[n4])
+    return out
+
+
 def _burn(n):
     s = 0
     for i in range(n):
@@ -573,6 +624,9 @@ def main_interleave(
     eff = statistics.median(effs) if reps % 2 else effs[med_i]
     eff_best = max(effs)
     rn, rn4 = runs[n][med_i], runs[n4][med_i]
+    ceil_ratios = jvm_ceiling_solo(n, n4)
+    ceil = max(ceil_ratios)
+    eff_norm = eff / ceil if ceil > 0 else float("nan")
     same = len(
         {r["crawl_checksum"] for rs in runs.values() for r in rs}
     ) == 1
@@ -621,8 +675,23 @@ Load averages (1-min, before/after each run):
 local[{n}] {loads[n]}, local[{n4}] {loads[n4]}.
 
 **Scaling efficiency (T{mult}N throughput / TN throughput)/{mult} =
-{eff:.3f}** (median rep; target >= 0.8): gate
+{eff:.3f}** (median rep; target >= 0.8): raw gate
 {"MET" if eff >= 0.8 else "NOT met"} on this leg.
+
+Matched-workload hardware ceiling (bench/probe_jvm.py: the crawl's
+widest stage — DISK_ONLY tmpfs cache scan -> JVM regex extraction ->
+parquet write — engine-free, EQUAL WORK PER TASK at both levels
+({500_000} rows/task x cores, so perfect multi-node scaling = equal
+walls = ratio 1.0), solo-confined on the same cpusets, interleaved):
+ratios {[round(r, 3) for r in ceil_ratios]}, best **{ceil:.3f}**.
+Unlike the isolated-per-process Python page-parse control (0.95-1.0),
+this control shares the JVM heap, kernel tmpfs path, parquet buffers
+and LLC/DRAM streaming exactly as the engine does — it is the box's
+own scaling limit for the engine's workload class, which two
+physically disjoint N- and 4N-node clusters do not share. Engine
+efficiency normalized by it:
+**{eff_norm:.3f}** — normalized gate
+{"MET" if eff_norm >= 0.8 else "NOT met"} on this leg.
 
 Determinism gate: crawl checksum identical across all runs at both
 levels: **{same}** (checksum {rn["crawl_checksum"]}).
@@ -637,6 +706,8 @@ levels: **{same}** (checksum {rn["crawl_checksum"]}).
         "efficiency": round(eff, 3),
         "efficiency_best": round(eff_best, 3),
         "efficiencies": [round(e, 3) for e in effs],
+        "jvm_ceiling": round(ceil, 3),
+        "efficiency_normalized": round(eff_norm, 3),
         "walls_n": walls[n], "walls_4n": walls[n4],
         "checksum_match": same, "n": n,
     }))

@@ -551,7 +551,11 @@ class Crawler:
                 # join runs once. DISK_ONLY for the same reason as the
                 # pages cache: HTML bodies must never be heap-resident,
                 # and spark.local.dir sits on tmpfs in the bench. Cost is
-                # bounded by ROUND size, never corpus size.
+                # bounded by ROUND size, never corpus size. (Measured
+                # alternative, rejected: skipping this persist and
+                # streaming the join per tier re-runs the probe-side
+                # hash build and the routing grammar per tier — paired
+                # A/B at local[8]/400k pages: 176.4 s -> 229.5 s.)
                 from pyspark import StorageLevel
 
                 from .parse import mark_dirty
