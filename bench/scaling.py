@@ -185,7 +185,7 @@ def jvm_ceiling_solo(
     matters: a fixed-total probe gives the small level tasks several
     times larger, whose parquet row-group buffering dominates and
     inverts the comparison."""
-    small, big = _coresets_corun(n, n4)
+    small, big = _coresets_required(n, n4)
     out = []
     for i in range(reps):
         walls = {}
@@ -210,9 +210,13 @@ def jvm_ceiling_solo(
                 l for l in r.stdout.strip().splitlines()
                 if l.startswith("{")
             ]
-            if not lines:
+            # a nonzero exit must fail even if a stale JSON line printed
+            # (ADVICE r4); include the probe's own stderr in the error
+            if r.returncode != 0 or not lines:
+                tail = "\n".join(r.stderr.strip().splitlines()[-15:])
                 raise RuntimeError(
-                    f"jvm ceiling probe failed at cpus={cpus}"
+                    f"jvm ceiling probe failed at cpus={cpus} "
+                    f"(rc={r.returncode}); stderr tail:\n{tail}"
                 )
             walls[cpus] = json.loads(lines[-1])["secs"]
         out.append(walls[n] / walls[n4])
@@ -359,7 +363,25 @@ def _coresets_corun(n: int, n4: int):
     need = 2 * n + 2 * n4
     if need > len(avail):
         return None
+    if os.environ.get("CRAWLSPARK_SCALE_SWAP", "0") == "1":
+        # control variant (VERDICT r4 #2): hand the WIDE level the low
+        # cores and the narrow level the high ones — kills the
+        # "cores 4-19 are intrinsically worse" alternative explanation
+        return avail[2 * n4: need], avail[: 2 * n4]
     return avail[: 2 * n], avail[2 * n: need]
+
+
+def _coresets_required(n: int, n4: int):
+    """_coresets_corun or a descriptive error (ADVICE r4: the bare None
+    unpack failed with an opaque TypeError on small boxes)."""
+    sets = _coresets_corun(n, n4)
+    if sets is None:
+        raise RuntimeError(
+            f"co-run cpusets need {2 * n + 2 * n4} cores "
+            f"(2x{n} + 2x{n4}), box has "
+            f"{len(os.sched_getaffinity(0))}"
+        )
+    return sets
 
 
 def run_pair(n: int, n4: int, pages: int) -> tuple[dict, dict]:
@@ -368,7 +390,7 @@ def run_pair(n: int, n4: int, pages: int) -> tuple[dict, dict]:
     loaded until the slower level completes."""
     import tempfile
 
-    small, big = _coresets_corun(n, n4)
+    small, big = _coresets_required(n, n4)
     procs = {}
     outfiles = {}
     for cpus, cores in ((n, small), (n4, big)):
@@ -435,7 +457,7 @@ def hw_ceiling_corun(n: int, n4: int, reps: int = 2) -> list:
     T_small == T_big, i.e. ratio 1.0; the measured ratio is the box's
     parallel-scaling ceiling under the co-run condition — no engine code
     in the loop."""
-    small, big = _coresets_corun(n, n4)
+    small, big = _coresets_required(n, n4)
 
     def worker(cores, q):
         os.sched_setaffinity(0, set(cores))
@@ -502,7 +524,7 @@ def main_corun(
     same = all(
         a["crawl_checksum"] == b["crawl_checksum"] for a, b in pairs
     ) and len({p[0]["crawl_checksum"] for p in pairs}) == 1
-    small, big = _coresets_corun(n, n4)
+    small, big = _coresets_required(n, n4)
     walls_n = [p[0]["crawl_secs"] for p in pairs]
     walls_n4 = [p[1]["crawl_secs"] for p in pairs]
     md = f"""# BENCH — scaling evidence (local[{n}] vs local[{n4}], CO-RUN)
@@ -605,7 +627,7 @@ def main_interleave(
 
     if not os.path.isdir(f"/tmp/crawlspark_bench_input_{pages}"):
         run_at(n4, pages)
-    small, big = _coresets_corun(n, n4)
+    small, big = _coresets_required(n, n4)
     walls = {n: [], n4: []}
     runs = {n: [], n4: []}
     ceil_ratios = []

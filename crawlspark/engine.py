@@ -282,6 +282,18 @@ class Crawler:
         # per-round seen-probe decisions ("broadcast"/"merge"), appended
         # by run() — observability for the auto guard (and its tests)
         self.probe_choices: list = []
+        # driver-cached bloom bitmaps (bucket -> np.uint64 words): the
+        # probe broadcasts them from the driver anyway, so the dict IS
+        # the working copy; the per-round parquet batch is the durable
+        # mirror (written driver-side — see _roll_bloom_local)
+        self._bloom_dict = None
+        # pipelined round commit (see run()): the pending commit future,
+        # the in-memory next-frontier handoff, and the persisted frontier
+        # cache the NEXT commit must release
+        self._pending_commit = None
+        self._commit_pool = None
+        self._next_frontier = None
+        self._frontier_handle = None
         # robots crawl-delay → per-host budgets (broadcast policy state)
         self._host_budgets = None
         self._default_budget = 0
@@ -317,14 +329,117 @@ class Crawler:
             # without it every write task opens a dynamic-partition writer
             # per bucket it sees (tasks x buckets small files + per-task
             # writer state — measured 3x task-time inflation of the seen
-            # append at local[8] vs local[2]); with it each bucket dir
-            # gets exactly one file per round from exactly one task
+            # append at local[8] vs local[2]). With it each bucket is
+            # written by exactly ONE task (single-writer-per-bucket: one
+            # file per bucket dir per round). Note this is NOT
+            # one-bucket-per-task: bucket→partition hash collisions mod
+            # numPartitions can co-locate several buckets in one task
+            # (skewing write tasks, leaving others empty), and with
+            # P < seen_buckets a task necessarily writes several files.
             rows = rows.repartition(
                 min(self.cfg.seen_buckets, self.P), F.col("kbucket")
             )
             self.store.append("seen", rows, batch, partition_by=["kbucket"])
         else:
             self.store.append("seen", rows, batch)
+
+    # -- driver-side sinks ---------------------------------------------
+    # metrics/lineage/bloom carry O(bytes) per round but each Spark write
+    # is a full job (plan+submit+commit, ~0.5-2 s) on the round's critical
+    # path — a level-independent serial term of the N→4N scaling gate.
+    # The driver already holds every value; write them driver-side into
+    # the identical batch layout (storage.append_local).
+
+    def _append_metrics_local(self, r, n_sched, n_ok, n_kept) -> None:
+        import pyarrow as pa
+
+        schema = pa.schema([
+            ("round", pa.int32()), ("scheduled", pa.int64()),
+            ("fetched_ok", pa.int64()), ("failed", pa.int64()),
+            ("new_urls", pa.int64()),
+        ])
+        self.store.append_local(
+            "metrics",
+            {"round": [r], "scheduled": [n_sched], "fetched_ok": [n_ok],
+             "failed": [n_sched - n_ok], "new_urls": [n_kept]},
+            schema, r,
+        )
+
+    def _append_lineage_local(self, r, reasons) -> None:
+        import pyarrow as pa
+
+        schema = pa.schema([
+            ("round", pa.int32()), ("reason", pa.string()),
+            ("n", pa.int64()),
+        ])
+        self.store.append_local(
+            "lineage",
+            {"round": [r] * len(reasons),
+             "reason": [x[0] for x in reasons],
+             "n": [int(x[1]) for x in reasons]},
+            schema, r,
+        )
+
+    # -- bloom (driver-cached working copy + durable per-round mirror) --
+    def _bloom_cfg(self):
+        from . import bloom as bloom_mod
+
+        return bloom_mod.BloomConfig(
+            buckets=self.cfg.bloom_buckets,
+            bits_per_bucket=self.cfg.bloom_bits,
+        )
+
+    def _ensure_bloom(self, r: int) -> None:
+        """Populate the driver bloom dict for round r (resume path: read
+        the checkpointed batch; in-session the dict is already current)."""
+        if self._bloom_dict is None:
+            from . import bloom as bloom_mod
+
+            df = self.store.read_batch("bloom", r)
+            if df is not None:
+                self._bloom_dict = bloom_mod.to_dict(df)
+
+    def _collect_fresh_bitmaps(self, fresh: DataFrame) -> dict:
+        """ONE distributed job: per-bucket bitmaps of the round's fresh
+        keys (≤ buckets × bits/8 bytes reach the driver)."""
+        from . import bloom as bloom_mod
+
+        return bloom_mod.to_dict(
+            bloom_mod.build_or_update(
+                fresh.select("seen_key"), "seen_key", None, self._bloom_cfg()
+            )
+        )
+
+    def _roll_bloom_local(self, fresh_bitmaps: Optional[dict], batch: int) -> None:
+        """OR the fresh bitmaps into the driver dict and write the rolled
+        snapshot as bloom batch ``batch`` — no Spark job (the old path per
+        round: parquet read + merge applyInPandas + write = 3 jobs)."""
+        import numpy as np
+
+        if fresh_bitmaps is None and self._bloom_dict is None:
+            return
+        d = dict(self._bloom_dict or {})
+        for b, words in (fresh_bitmaps or {}).items():
+            d[b] = np.bitwise_or(d[b], words) if b in d else words
+        self._bloom_dict = d
+        import pyarrow as pa
+
+        schema = pa.schema([("bucket", pa.int32()), ("bitmap", pa.binary())])
+        buckets = sorted(d)
+        self.store.append_local(
+            "bloom",
+            {"bucket": buckets,
+             "bitmap": [d[b].tobytes() for b in buckets]},
+            schema, batch,
+        )
+
+    # -- pipelined round commit ----------------------------------------
+    def _join_commit(self) -> None:
+        """Block until the previous round's commit chain (sinks + state +
+        compaction) finishes; propagate its exception if it failed."""
+        if self._pending_commit is not None:
+            f, self._pending_commit = self._pending_commit, None
+            f.result()
 
     # -- key derivation -------------------------------------------------
     def _seen_key(self):
@@ -434,43 +549,17 @@ class Crawler:
             lambda: self._append_seen(res.fresh, 0),
         ]
         if self.cfg.use_bloom:
-            from . import bloom as bloom_mod
-
-            bcfg = bloom_mod.BloomConfig(
-                buckets=self.cfg.bloom_buckets,
-                bits_per_bucket=self.cfg.bloom_bits,
-            )
+            # the bitmap build is the only distributed part; the roll +
+            # write happen driver-side below (no Spark write job)
             init_jobs.append(
-                lambda: self.store.append(
-                    "bloom",
-                    bloom_mod.build_or_update(
-                        res.fresh.select("seen_key"), "seen_key", None, bcfg
-                    ),
-                    0,
-                )
+                lambda: self._collect_fresh_bitmaps(res.fresh)
             )
-        _parallel_jobs(*init_jobs)
+        results = _parallel_jobs(*init_jobs)
+        if self.cfg.use_bloom:
+            self._roll_bloom_local(results[-1], 0)
         tick("seed sinks (concurrent)")
         res.unpersist()
         return res.pushed_end, res.limit_reached
-
-    def _update_bloom(self, fresh, r: int) -> None:
-        """Roll the bloom snapshot forward to batch r+1 (old bitmaps ∪ the
-        round's fresh seen keys)."""
-        from . import bloom as bloom_mod
-
-        bcfg = bloom_mod.BloomConfig(
-            buckets=self.cfg.bloom_buckets, bits_per_bucket=self.cfg.bloom_bits
-        )
-        old = self.store.read_batch("bloom", r)
-        if fresh is None:
-            if old is not None:
-                self.store.append("bloom", old, r + 1)
-            return
-        updated = bloom_mod.build_or_update(
-            fresh.select("seen_key"), "seen_key", old, bcfg
-        )
-        self.store.append("bloom", updated, r + 1)
 
     # -- main loop ------------------------------------------------------
     def run(
@@ -480,8 +569,31 @@ class Crawler:
         resume: bool = False,
     ) -> CrawlResult:
         cfg = self.cfg
+        if self._commit_pool is None:
+            self._commit_pool = ThreadPoolExecutor(max_workers=1)
+        if self._pending_commit is not None:
+            # a previous run() aborted mid-pipeline: wait out its commit
+            # chain BEFORE reading state / truncating (it must not race
+            # this run); its failure, if any, was surfaced by that run
+            try:
+                self._pending_commit.result()
+            except Exception:
+                pass
+            self._pending_commit = None
+        if self._frontier_handle is not None:
+            try:
+                self._frontier_handle.unpersist()
+            except Exception:
+                pass
+        self._next_frontier = None
+        self._frontier_handle = None
         state = self.store.read_state() if resume else None
         if state is None:
+            # fresh crawl: a reused Crawler must not OR the new seed keys
+            # into a previous run's bitmaps (stale bits are exactness-safe
+            # — positives always go through the exact anti-join — but
+            # they'd charge phantom probe work to the new crawl)
+            self._bloom_dict = None
             tick0 = _Tick("engine init")
             pushed, limit_reached = self._init_frontier(seeds, sitemap_entries)
             tick0("seed frontier")
@@ -505,14 +617,33 @@ class Crawler:
             for t in ("seen", "frontier", "bloom"):
                 self.store.truncate_after(t, r)
 
+        # Pipelined round commit: each round's independent sinks + state
+        # write + compaction run as ONE background chain (single-thread
+        # pool ⇒ commits serialize in round order) while the NEXT round's
+        # schedule→fetch→parse head — which depends only on the in-memory
+        # frontier handoff — runs concurrently. The chain is joined right
+        # before the next round's seen/bloom reads (its first dependence
+        # on round-r durable state), by which point the 3-5 s tail has
+        # hidden behind the 15-70 s parse phase. Crash contract unchanged:
+        # state_r commits only after every round-r sink is durable, so a
+        # crash mid-pipeline resumes at the last committed round and
+        # truncates any partially-written later batches.
         drained = False
         while cfg.max_rounds == 0 or r < cfg.max_rounds:
             tick = _Tick(f"engine r{r}")
-            frontier = self.store.read_batch("frontier", r)
-            if frontier is None:
-                drained = True
-                break
-            frontier = frontier.drop("round")
+            if self._next_frontier is not None:
+                # in-memory handoff from the previous round (persisted;
+                # byte-identical rows to the parquet snapshot the commit
+                # chain is writing concurrently)
+                frontier = self._next_frontier
+                self._next_frontier = None
+            else:
+                self._join_commit()
+                frontier = self.store.read_batch("frontier", r)
+                if frontier is None:
+                    drained = True
+                    break
+                frontier = frontier.drop("round")
             if n_frontier is None:
                 # resume from a pre-tracking state file: one-time count
                 n_frontier = frontier.count()
@@ -616,6 +747,8 @@ class Crawler:
             dedup_res = None
             round_handles = []
             tail_jobs = []  # independent sink jobs, submitted concurrently
+            bloom_tail_idx = None  # index of the fresh-bitmap job result
+            lineage_rows = None  # driver-side lineage rows for the commit
             if not limit_reached:
                 # parent-derived canon columns (_pprefix/_phost/_parent_ok)
                 # are computed HERE, before the link explode, so each
@@ -779,6 +912,12 @@ class Crawler:
                 n_sched, n_ok = row["n"], int(row["ok"] or 0)
                 lin = row
                 tick(f"fused stats+lineage agg sched={n_sched}")
+                # first dependence on the previous round's durable state
+                # (seen batch, bloom snapshot, any compaction): join the
+                # pipelined commit chain here — it has been running
+                # concurrently under the whole fetch/parse/agg head
+                self._join_commit()
+                tick("commit join")
                 seen = self.store.read("seen")
                 if (
                     cfg.seen_buckets > 0
@@ -796,14 +935,13 @@ class Crawler:
                         )
                 bloom_arg = None
                 if cfg.use_bloom:
-                    from . import bloom as bloom_mod
-
-                    bcfg = bloom_mod.BloomConfig(
-                        buckets=cfg.bloom_buckets, bits_per_bucket=cfg.bloom_bits
-                    )
-                    bloom_df = self.store.read_batch("bloom", r)
-                    if bloom_df is not None:
-                        bloom_arg = (self.spark, bloom_mod.to_dict(bloom_df), bcfg)
+                    # driver-cached working copy; read_batch only on
+                    # resume (the dict survives round to round in-session)
+                    self._ensure_bloom(r)
+                    if self._bloom_dict is not None:
+                        bloom_arg = (
+                            self.spark, self._bloom_dict, self._bloom_cfg()
+                        )
                 probe = cfg.seen_probe
                 if probe == "auto":
                     # per-round guard: broadcast only while the candidate
@@ -861,30 +999,26 @@ class Crawler:
                     tail_jobs.append(
                         lambda f=_fresh, b=_r + 1: self._append_seen(f, b)
                     )
-                if cfg.use_bloom:
+                if cfg.use_bloom and fresh is not None and n_kept > 0:
+                    # the only distributed bloom work: fresh-key bitmaps;
+                    # the roll + batch write are driver-side in the commit
                     tail_jobs.append(
-                        lambda f=(fresh if n_kept > 0 else None), b=r:
-                        self._update_bloom(f, b)
+                        lambda f=fresh: self._collect_fresh_bitmaps(f)
                     )
+                    bloom_tail_idx = len(tail_jobs) - 1
 
                 n_raw, n_res, n_acc = (
                     int(lin["raw"]), int(lin["resolved"]), int(lin["accepted"])
                 )
-                lineage_df = self.spark.createDataFrame(
-                    [
-                        (r, "unparseable", n_raw - n_res),
-                        (r, "rejected", n_res - n_acc),
-                        (r, "duplicate", n_acc - res.n_new),
-                        (r, "budget", res.n_new - n_kept),
-                        (r, "pushed", n_kept),
-                    ],
-                    "round int, reason string, n long",
-                )
-                tail_jobs.append(
-                    lambda df=lineage_df, b=r: self.store.append(
-                        "lineage", df, b
-                    )
-                )
+                # Q3 lineage: pure driver scalars — written driver-side in
+                # the commit (was a per-round createDataFrame+write job)
+                lineage_rows = [
+                    ("unparseable", n_raw - n_res),
+                    ("rejected", n_res - n_acc),
+                    ("duplicate", n_acc - res.n_new),
+                    ("budget", res.n_new - n_kept),
+                    ("pushed", n_kept),
+                ]
             else:
                 # post-limit drain round: no candidate pipeline, only the
                 # scheduled/fetched counts for metrics
@@ -895,15 +1029,6 @@ class Crawler:
                 n_sched, n_ok = stats["n"], int(stats["ok"] or 0)
                 tick(f"drain stats agg sched={n_sched}")
 
-            # metrics (SNK2)
-            metrics_df = self.spark.createDataFrame(
-                [(r, n_sched, n_ok, n_sched - n_ok, n_kept)],
-                "round int, scheduled long, fetched_ok long, failed long, new_urls long",
-            )
-            tail_jobs.append(
-                lambda df=metrics_df, b=r: self.store.append("metrics", df, b)
-            )
-
             # next frontier = carryover ∪ fresh (FIFO: carry first by disc)
             parts = []
             if carry is not None:
@@ -913,56 +1038,115 @@ class Crawler:
             if fresh is not None and n_kept > 0:
                 parts.append(fresh)
             n_carry = n_frontier - n_sched
+            nxt_core = None
             if parts:
-                nxt = parts[0]
+                nxt_core = parts[0]
                 for p in parts[1:]:
-                    nxt = nxt.unionByName(p)
-                nxt = nxt.withColumn("round", F.lit(r + 1))
+                    nxt_core = nxt_core.unionByName(p)
+                # localCheckpoint, NOT persist: the in-memory frontier
+                # handoff to round r+1 must TRUNCATE lineage the way the
+                # parquet round-trip used to — a plain persist leaves the
+                # logical plan referencing the whole previous round's
+                # tree, which compounds exponentially across rounds
+                # (measured: a 2 GB plan string by round ~10). Lazy
+                # (eager=False) so the materialization happens inside the
+                # background snapshot write, off the critical path. The
+                # DURABLE checkpoint is still the parquet snapshot below;
+                # the local checkpoint only serves the in-session
+                # pipeline (on executor loss the round job fails and the
+                # crawl resumes from the parquet state — same contract).
+                nxt_core = nxt_core.localCheckpoint(eager=False)
                 tail_jobs.append(
-                    lambda df=nxt, b=r + 1: self.store.append(
-                        "frontier", df, b
+                    lambda df=nxt_core, b=r + 1: self.store.append(
+                        "frontier", df.withColumn("round", F.lit(b)), b
                     )
                 )
-            # the round's independent sinks (seen/bloom/lineage/metrics/
-            # frontier) all read cached inputs — run them as concurrent
-            # jobs; the state write below commits the round only after
-            # every sink has finished (same crash-consistency contract)
-            _parallel_jobs(*tail_jobs)
-            order_fut.result()
-            order_pool.shutdown()
-            tick("round tail (concurrent sinks)")
             has_next = (n_carry + n_kept) > 0
             n_frontier = n_carry + n_kept  # next round's size, tracked
 
-            parsed.unpersist()
-            if fetched_handle is not None:
-                fetched_handle.unpersist()
-            if dedup_res is not None:
-                dedup_res.unpersist()
-            for h in round_handles:
-                h.unpersist()
+            # ---- pipelined commit: the round's independent sinks (seen/
+            # bloom/lineage/metrics/frontier snapshot) all read cached
+            # inputs. Submit them + the state write + compaction +
+            # unpersists as ONE background chain on the single-thread
+            # commit pool (chains serialize in round order) and let round
+            # r+1's fetch/parse head run concurrently off the in-memory
+            # frontier. Same crash contract: state_r is written only
+            # after every round-r sink (including the order append) has
+            # finished.
+            _handles = [parsed] + (
+                [fetched_handle] if fetched_handle is not None else []
+            ) + round_handles
+            _dedup_res = dedup_res
+            _prev_frontier = self._frontier_handle
+            _state = {
+                "next_round": r + 1, "pushed": pushed,
+                "limit_reached": limit_reached, "finished": not has_next,
+                "frontier_size": n_frontier,
+            }
+
+            def _commit(
+                jobs=tuple(tail_jobs), ofut=order_fut, opool=order_pool,
+                b_idx=bloom_tail_idx, lrows=lineage_rows, rr=r,
+                msched=n_sched, mok=n_ok, mkept=n_kept, st=_state,
+                handles=tuple(_handles), dres=_dedup_res,
+                prev_frontier=_prev_frontier,
+            ):
+                results = _parallel_jobs(*jobs) if jobs else []
+                ofut.result()
+                opool.shutdown()
+                # driver-side sinks (no Spark jobs)
+                self._append_metrics_local(rr, msched, mok, mkept)
+                if lrows is not None:
+                    self._append_lineage_local(rr, lrows)
+                if cfg.use_bloom:
+                    self._roll_bloom_local(
+                        results[b_idx] if b_idx is not None else None,
+                        rr + 1,
+                    )
+                self.store.write_state(st)
+                # post-commit maintenance: bound the seen scan's file
+                # count. Runs AFTER the state write, so the compacted
+                # label (= the committed next_round) always survives the
+                # resume truncate; crash mid-compaction is completed by
+                # the store's journal recovery, and rows keep first_round
+                # so resume to ANY round stays exact (truncate_after
+                # filters compacted dirs on it). Round r+1 cannot observe
+                # a half-compacted table: its seen read happens after
+                # _join_commit.
+                if cfg.seen_compact_fanin > 0 and cfg.seen_buckets > 0:
+                    self.store.maybe_compact(
+                        "seen", upto=rr + 1, partition_by=["kbucket"],
+                        round_col="first_round",
+                        fanin=cfg.seen_compact_fanin,
+                    )
+                # release round-r caches (the next frontier is its own
+                # cache, already materialized by the snapshot write above)
+                for h in handles:
+                    h.unpersist()
+                if dres is not None:
+                    dres.unpersist()
+                if prev_frontier is not None:
+                    prev_frontier.unpersist()
+
+            self._pending_commit = self._commit_pool.submit(_commit)
+            self._frontier_handle = nxt_core
+            self._next_frontier = nxt_core
+            tick("round tail (submitted)")
             r += 1
-            self.store.write_state(
-                {"next_round": r, "pushed": pushed,
-                 "limit_reached": limit_reached, "finished": not has_next,
-                 "frontier_size": n_frontier}
-            )
-            # post-commit maintenance: bound the seen scan's file count.
-            # Runs AFTER the state write, so the compacted label (= the
-            # committed next_round) always survives the resume truncate;
-            # crash mid-compaction is completed by the store's journal
-            # recovery, and rows keep first_round so resume to ANY round
-            # stays exact (truncate_after filters compacted dirs on it).
-            if cfg.seen_compact_fanin > 0 and cfg.seen_buckets > 0:
-                self.store.maybe_compact(
-                    "seen", upto=r, partition_by=["kbucket"],
-                    round_col="first_round",
-                    fanin=cfg.seen_compact_fanin,
-                )
             if not has_next:
                 drained = True
                 break
 
+        # join the last round's commit chain before touching final state
+        # (also surfaces any background sink failure). The pool itself is
+        # per-Crawler and idles between runs; if this run() raises before
+        # reaching here, the next run() (or interpreter exit) waits out
+        # the orphaned chain — see the entry guard above.
+        self._join_commit()
+        if self._frontier_handle is not None:
+            self._frontier_handle.unpersist()
+            self._frontier_handle = None
+        self._next_frontier = None
         # only a drained frontier finishes the crawl; a max_rounds stop
         # leaves state resumable (north rule: resumable from any round)
         if drained:
